@@ -1,0 +1,134 @@
+"""One shared configuration dataclass for every entry point.
+
+The reference duplicates ~30 argparse flags across three CLIs with drifted
+defaults (reference train_model.py:160-242, eval.py:139-223,
+equivariance_test.py:20-94). Here a single frozen dataclass is the source of
+truth; it is serialized into checkpoints so that eval can never silently
+mismatch the training architecture (fixes the manual caveat at reference
+README.md:150).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class Config:
+    # ---- optimization (reference train_model.py:166-179) ----
+    batch_size: int = 8
+    lr: float = 3e-4
+    drop: float = 0.0
+    reg: float = 0.0            # Adam weight decay
+    gamma: float = 0.96         # exponential LR decay per epoch
+    acc_grad: int = 8           # gradient accumulation (microbatches per step)
+    epochs: int = 100
+    early_stop_patience: int = 10
+
+    # ---- front-end / CQT (reference KeyDataset.py:469-509) ----
+    window_size: int = 592      # time frames when frames == 0
+    octaves: int = 8
+    frames: int = 5             # CQT frames per second (hop = round(sr/frames))
+    only_semitones: bool = False  # 12 bins/octave instead of 36
+    multi_scale: bool = False     # run 36-bin and 12-bin models, merge outputs
+
+    # ---- architecture (reference train_model.py:188-219) ----
+    conv_layers: int = 3
+    n_filters: int = 4
+    num_layers: int = 2
+    kernel_size: int = 7
+    head_layers: int = 2
+    time_pool_size: int = 2
+    resblock: bool = False
+    denseblock: bool = False
+    stay_sixth: bool = False
+    p2pc_conv: bool = False
+    pc2p_mem: bool = False
+    max_pool: bool = False      # global max-pool at heads instead of mean
+    linear_reg_multi: bool = False
+
+    # ---- tasks & loss ----
+    local: bool = False         # per-window (local) key estimation
+    loc_window_size: int = 10   # seconds per local prediction
+    genre: bool = False         # add genre head/loss
+    key_weight: float = 1.0
+    tonic_weight: float = 1.0
+    genre_weight: float = 0.1
+    use_cos: bool = False       # extra cosine-similarity key loss term
+
+    # ---- run control ----
+    no_test: bool = False
+    debug: bool = False
+    no_ckpt: bool = False
+    seed: int = 0
+
+    # ---- TPU-native knobs (new; no reference counterpart) ----
+    dtype: str = "float32"         # compute dtype: float32 | bfloat16
+    param_dtype: str = "float32"
+    mesh_shape: tuple = ()          # e.g. (8,) for 8-way data parallel; () = all devices
+    mesh_axes: tuple = ("data",)
+    remat: bool = False             # jax.checkpoint the trunk (dense blocks use it anyway)
+    bucket_sizes: tuple = (512, 1024, 2048, 4096)  # time-frame padding buckets
+    use_pallas_cqt: bool = True     # fused Pallas CQT kernel vs pure-XLA path
+    data_root: str = "../Data"
+    log_dir: str = "Model_logs"
+
+    # ------------------------------------------------------------------
+    @property
+    def bins_per_octave(self) -> int:
+        return 12 if self.only_semitones else 36
+
+    @property
+    def pitches(self) -> int:
+        """Input CQT height (reference train_model.py:93-98)."""
+        return self.octaves * self.bins_per_octave
+
+    @property
+    def pitch_classes(self) -> int:
+        return 12
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    # ---- (de)serialization: stored inside every checkpoint ----
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        for k, v in d.items():
+            if isinstance(v, tuple):
+                d[k] = list(v)
+        return json.dumps(d, indent=2, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        d = json.loads(s)
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kw = {}
+        for k, v in d.items():
+            if k not in fields:
+                continue
+            if fields[k].type == "tuple" or isinstance(fields[k].default, tuple):
+                v = tuple(v)
+            kw[k] = v
+        return cls(**kw)
+
+
+def add_config_args(parser) -> None:
+    """Expose every Config field as a --flag on an argparse parser."""
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        if f.type == "bool" or isinstance(f.default, bool):
+            parser.add_argument(name, action="store_true", default=f.default)
+        elif isinstance(f.default, tuple):
+            parser.add_argument(name, type=lambda s: tuple(int(x) for x in s.split(",")),
+                                default=f.default)
+        else:
+            parser.add_argument(name, type=type(f.default), default=f.default)
+
+
+def config_from_args(args) -> Config:
+    kw = {f.name: getattr(args, f.name) for f in dataclasses.fields(Config)
+          if hasattr(args, f.name)}
+    return Config(**kw)

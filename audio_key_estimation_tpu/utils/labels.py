@@ -1,0 +1,141 @@
+"""Label construction from key-string annotations.
+
+Reproduces the reference's label semantics (KeyDataset.py:345-466) exactly,
+including its quirks, without any TensorFlow dependency:
+
+* ``key_label``      — 12-dim diatonic multi-hot: the first index of the key
+  string in the loader's 42-slot ``keys`` vocabulary, modulo 21, selects a
+  KEY_SIGNATURE_MAP row (KeyDataset.py:443-444). An *unmatched* string maps to
+  index 0 (Cb major) because argmax of an all-False vector is 0 — preserved.
+* ``key_signature_id`` — 24-dim one-hot of the first index in the loader's
+  ``signature`` vocabulary (KeyDataset.py:446-447). For 48-slot vocabularies
+  (flat spellings live at 24..47) tf.one_hot(idx, 24) yields an ALL-ZERO
+  vector for out-of-range indices — preserved (it feeds the MIREX "fifths"
+  quirk downstream).
+* ``tonic_label``    — one-hot( first signature index % 12 ) (KeyDataset.py:449-450).
+
+Local (per-window) mode reproduces the Winterreise segment-overlap logic
+(KeyDataset.py:357-439) with one documented divergence: the reference
+concatenates segment label blocks along ``axis=1``, which only type-checks
+when all segments have equal length (a latent bug); we concatenate along the
+time axis (axis=0), which is the intended behavior (the reference's own
+assert at KeyDataset.py:439 expects time-major stacking).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+
+from .key_signatures import KEY_SIGNATURE_MAP
+
+
+def vocab_index(value: str, vocab: Sequence[str]) -> int:
+    """First index of `value` in `vocab`; 0 if absent (argmax-of-False quirk)."""
+    for i, v in enumerate(vocab):
+        if value == v:
+            return i
+    return 0
+
+
+def one_hot(idx: int, depth: int) -> np.ndarray:
+    """tf.one_hot semantics: out-of-range index -> all-zeros vector."""
+    v = np.zeros(depth, dtype=np.float32)
+    if 0 <= idx < depth:
+        v[idx] = 1.0
+    return v
+
+
+def key_multihot(key_string: str, keys_vocab: Sequence[str]) -> np.ndarray:
+    """12-dim diatonic multi-hot (KeyDataset.py:443-444)."""
+    return KEY_SIGNATURE_MAP[vocab_index(key_string, keys_vocab) % 21].copy()
+
+
+def signature_onehot(key_string: str, signature_vocab: Sequence[str]) -> np.ndarray:
+    """24-dim tonic+mode one-hot (KeyDataset.py:446-447), zeros if idx >= 24."""
+    return one_hot(vocab_index(key_string, signature_vocab), 24)
+
+
+def tonic_onehot(key_string: str, signature_vocab: Sequence[str]) -> np.ndarray:
+    """12-dim tonic one-hot (KeyDataset.py:449-450)."""
+    return one_hot(vocab_index(key_string, signature_vocab) % 12, 12)
+
+
+def global_labels(key_string: str, keys_vocab: Sequence[str],
+                  signature_vocab: Sequence[str]):
+    """(key_multihot[12], key_signature_id[24], tonic[12]) for one song."""
+    return (key_multihot(key_string, keys_vocab),
+            signature_onehot(key_string, signature_vocab),
+            tonic_onehot(key_string, signature_vocab))
+
+
+# ----------------------------------------------------------------------------
+# Local (per-window) mode — Winterreise time-interval annotations
+# ----------------------------------------------------------------------------
+
+def local_segment_repeats(i: int, n_segments: int, start_index: int,
+                          end_index: int, window_frames: int) -> int:
+    """Frames contributed by annotation segment i (KeyDataset.py:379-412).
+
+    ``window_frames`` = loc_window_size * frames. Each prediction consumes a
+    full window, so a segment contributes its frame span minus (window-1),
+    plus half-window "majority overlap" into each adjacent segment. The first
+    segment gets no overlap at all (the reference's second `if i==0` branch
+    overwrites the overlap computed in the first — preserved).
+    """
+    complete = int((end_index - start_index) - (window_frames - 1))
+    half = int(window_frames / 2)
+    if i == 0:
+        return complete
+    if i == n_segments - 1:
+        return half + complete
+    return half + complete + half
+
+
+def local_labels(segments: Sequence[tuple], keys_vocab: Sequence[str],
+                 signature_vocab: Sequence[str], frames: int,
+                 loc_window_size: int):
+    """Per-frame label sequences for local key estimation.
+
+    Parameters
+    ----------
+    segments : sequence of (start_sec: float, end_sec: float, key_string: str)
+
+    Returns
+    -------
+    (key_labels[T,12], key_signature_id[T,24], tonic[T,12],
+     start_cut: int, keep_len: int)
+    where the caller must trim the feature array to
+    ``mel[..., start_cut:][..., :keep_len]`` with
+    keep_len = T + (loc_window_size*frames - 1)   (KeyDataset.py:429-430).
+    """
+    window_frames = loc_window_size * frames
+    n = len(segments)
+    key_rows, sig_rows, tonic_rows = [], [], []
+    start_cut = 0
+    for i, (start, end, key_string) in enumerate(segments):
+        start_index = int(start * frames)
+        end_index = int(end * frames)
+        repeats = local_segment_repeats(i, n, start_index, end_index, window_frames)
+        repeats = max(repeats, 0)
+        if i == 0:
+            start_cut = int(start * frames)
+        k, s, t = global_labels(key_string, keys_vocab, signature_vocab)
+        key_rows.append(np.tile(k, (repeats, 1)))
+        sig_rows.append(np.tile(s, (repeats, 1)))
+        tonic_rows.append(np.tile(t, (repeats, 1)))
+    key_labels = np.concatenate(key_rows, axis=0)
+    sig_ids = np.concatenate(sig_rows, axis=0)
+    tonics = np.concatenate(tonic_rows, axis=0)
+    keep_len = key_labels.shape[0] + (window_frames - 1)
+    return key_labels, sig_ids, tonics, start_cut, keep_len
+
+
+def tiled_local_labels(key_string: str, keys_vocab: Sequence[str],
+                       signature_vocab: Sequence[str], time_length: int):
+    """Global label tiled per frame (non-Winterreise local mode,
+    KeyDataset.py:458-463)."""
+    k, s, t = global_labels(key_string, keys_vocab, signature_vocab)
+    return (np.tile(k, (time_length, 1)), np.tile(s, (time_length, 1)),
+            np.tile(t, (time_length, 1)))
