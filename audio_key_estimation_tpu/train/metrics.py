@@ -1,0 +1,94 @@
+"""Evaluation metrics: MIREX weighted key score and accuracies.
+
+Vectorized re-implementation of the reference's per-sample Python loops
+(models.py:1029-1116) as jit-able jnp code — the reference recomputes this
+on every training batch with a host loop, which serializes the device.
+
+Parity quirks preserved exactly:
+ * prediction = KEY_SIGNATURE_MAP row with max cosine similarity to the
+   12-dim sigmoid output (models.py:1083-1085);
+ * "fifths" compares the predicted row index (circle-of-fifths order, 21
+   rows) against argmax of the 24-slot `key_signature_id` one-hot (chromatic
+   loader order) with |diff| == 1 (models.py:1095,1100) — two different
+   orderings, reproduced as-is; an all-zero key_signature_id (flat-spelling
+   loaders) argmaxes to 0, as in torch;
+ * category precedence: fifths is tested first and excludes correct
+   (models.py:1100-1113);
+ * mirex = correct + 0.5*fifths + 0.3*relative + 0.2*parallel (models.py:1114).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..utils.key_signatures import KEY_SIGNATURE_MAP
+
+
+def _cosine(a, b, axis=-1, eps=1e-8):
+    num = jnp.sum(a * b, axis=axis)
+    den = jnp.linalg.norm(a, axis=axis) * jnp.linalg.norm(b, axis=axis)
+    return num / jnp.maximum(den, eps)
+
+
+def mirex_score(key_labels, key_preds, tonic_labels, tonic_preds,
+                key_signature_id):
+    """Batch MIREX breakdown (models.py:1065-1116).
+
+    All inputs (N, ·): key_labels (N,12) multi-hot, key_preds (N,12) sigmoid,
+    tonic_* (N,12), key_signature_id (N,24).
+    Returns dict of scalars: mirex, correct, fifths, relative, parallel,
+    other, accuracy (all fractions of the batch).
+    """
+    ksm = jnp.asarray(KEY_SIGNATURE_MAP, key_preds.dtype)          # (21,12)
+    sims = _cosine(key_preds[:, None, :], ksm[None, :, :])          # (N,21)
+    pred_key_id = jnp.argmax(sims, axis=1)                          # (N,)
+    key_pred_rows = ksm[pred_key_id]                                # (N,12)
+    key_sig_label_id = jnp.argmax(key_signature_id, axis=1)         # (N,)
+
+    correct_keys = jnp.sum(key_pred_rows == key_labels, axis=1)     # (N,)
+    exact = correct_keys == 12
+    correct_tonic = (jnp.argmax(tonic_labels, axis=1)
+                     == jnp.argmax(tonic_preds, axis=1))
+    diff = jnp.abs(pred_key_id - key_sig_label_id)
+
+    fifths = (diff == 1) & ~(correct_tonic & exact)
+    correct = correct_tonic & exact & ~fifths
+    relative = exact & ~correct_tonic & ~fifths & ~correct
+    parallel = correct_tonic & ~exact & ~fifths & ~correct & ~relative
+    other = ~(fifths | correct | relative | parallel)
+
+    n = key_labels.shape[0]
+    f = lambda m: jnp.sum(m) / n  # noqa: E731
+    mirex = f(correct) + 0.5 * f(fifths) + 0.3 * f(relative) + 0.2 * f(parallel)
+    return {
+        "mirex": mirex, "correct": f(correct), "fifths": f(fifths),
+        "relative": f(relative), "parallel": f(parallel), "other": f(other),
+        "accuracy": f(exact),
+    }
+
+
+def all_key_accuracy(key_labels, key_preds):
+    """Exact-match accuracy after top-7 binarization (models.py:1029-1039).
+
+    A prediction binarizes to (value >= 7th-largest value); ties therefore
+    can mark more than 7 classes, as in the reference.
+    """
+    thresh = jnp.sort(key_preds, axis=1)[:, -7][:, None]
+    binarized = (key_preds >= thresh).astype(key_labels.dtype)
+    exact = jnp.sum(binarized == key_labels, axis=1) == 12
+    return jnp.mean(exact.astype(jnp.float32))
+
+
+def tonic_accuracy(tonic_labels_idx, tonic_preds):
+    return jnp.mean((jnp.argmax(tonic_preds, axis=1) == tonic_labels_idx)
+                    .astype(jnp.float32))
+
+
+def genre_accuracy(genre_labels_idx, genre_preds, genre_mask):
+    """Accuracy over samples that carry a genre label (models.py:916-923).
+
+    Returns 0.0 when no sample in the batch is labeled, like the reference.
+    """
+    hits = (jnp.argmax(genre_preds, axis=1) == genre_labels_idx) & genre_mask
+    cnt = jnp.sum(genre_mask)
+    return jnp.where(cnt == 0, 0.0, jnp.sum(hits) / jnp.maximum(cnt, 1))
