@@ -1,0 +1,176 @@
+"""Checkpoint-porting tests.
+
+1. Round-trip: flax -> torch state_dict -> flax reproduces the tree, and the
+   reference's `.conv2d.`-nested key naming (models.py:27) is accepted.
+2. Cross-framework forward parity: an independently written *functional*
+   torch forward (pure F.conv2d/F.batch_norm calls, no module tree) produces
+   the same logits as our flax model from the same exported weights. This is
+   the guarantee that real reference checkpoints port losslessly.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn.functional as F
+from flax import traverse_util
+
+from audio_key_estimation_tpu.config import Config
+from audio_key_estimation_tpu.models import PitchClassNet
+from audio_key_estimation_tpu.models.torch_port import (
+    state_dict_to_variables, variables_to_state_dict)
+
+CFG = Config(octaves=4, num_layers=2, conv_layers=2, n_filters=4,
+             kernel_size=7, head_layers=2, genre=True)
+
+EQUIVARIANT_CONV_KEYS = [
+    "model.0.pc2pc.layer.0", "model.0.pc2pc.layer.3",
+    "model.1.pc2pc.layer.0", "model.1.pc2pc.layer.3",
+    "tonic_classifier.0", "tonic_classifier.3",
+    "key_classifier.0", "key_classifier.3",
+]
+
+
+def _random_variables(rng):
+    mel = jnp.zeros((1, CFG.pitches, 32, 1), jnp.float32)
+    model = PitchClassNet(CFG)
+    variables = model.init(jax.random.PRNGKey(3), mel, None, False)
+    # randomize BN running stats so eval-mode normalization is non-trivial
+    flat = traverse_util.flatten_dict(variables["batch_stats"])
+    for k in flat:
+        if k[-1] == "mean":
+            flat[k] = jnp.asarray(rng.normal(size=flat[k].shape) * 0.3, jnp.float32)
+        else:
+            flat[k] = jnp.asarray(rng.uniform(0.5, 2.0, flat[k].shape), jnp.float32)
+    variables = dict(variables)
+    variables["batch_stats"] = traverse_util.unflatten_dict(flat)
+    return model, variables
+
+
+def test_state_dict_round_trip(rng):
+    model, variables = _random_variables(rng)
+    sd = variables_to_state_dict(variables)
+    restored = state_dict_to_variables(sd, variables)
+    for coll in variables:
+        a = traverse_util.flatten_dict(variables[coll])
+        b = traverse_util.flatten_dict(restored[coll])
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                       rtol=1e-6)
+
+
+def test_reference_conv2d_key_nesting_accepted(rng):
+    """Reference checkpoints nest equivariant convs as `X.conv2d.weight`."""
+    model, variables = _random_variables(rng)
+    sd = variables_to_state_dict(variables)
+    nested = {}
+    for k, v in sd.items():
+        base, leaf = k.rsplit(".", 1)
+        if base in EQUIVARIANT_CONV_KEYS and leaf in ("weight", "bias"):
+            nested[f"{base}.conv2d.{leaf}"] = v
+        else:
+            nested[k] = v
+    restored = state_dict_to_variables(nested, variables)
+    a = traverse_util.flatten_dict(variables["params"])
+    b = traverse_util.flatten_dict(restored["params"])
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# functional torch forward (independent reimplementation for parity checking)
+# ---------------------------------------------------------------------------
+
+def _torch_forward(sd, mel_nchw):
+    g = lambda k: torch.tensor(np.asarray(sd[k])).double()  # noqa: E731
+
+    def bn(x, p):
+        return F.batch_norm(x, g(p + ".running_mean"), g(p + ".running_var"),
+                            g(p + ".weight"), g(p + ".bias"),
+                            training=False, eps=1e-5)
+
+    def lrelu(x):
+        return F.leaky_relu(x, 0.01)
+
+    def eqconv(x, p, pad_t=0):
+        xw = torch.cat([x, x[:, :, :11, :]], dim=2)
+        return F.conv2d(xw, g(p + ".weight"), g(p + ".bias"), padding=(0, pad_t))
+
+    def octave_pool(x):
+        k = math.ceil(x.shape[2] / 12)
+        return F.max_pool2d(x, (k, 1), (1, 1), dilation=(12, 1))
+
+    def conv_stack(x, prefix, equivariant, pad_hw):
+        for j in (0, 3):
+            if equivariant:
+                x = eqconv(x, f"{prefix}.layer.{j}", pad_t=3)
+            else:
+                xp = F.pad(x, (pad_hw[1],) * 2 + (pad_hw[0],) * 2, mode="circular")
+                x = F.conv2d(xp, g(f"{prefix}.layer.{j}.weight"),
+                             g(f"{prefix}.layer.{j}.bias"))
+            x = lrelu(bn(x, f"{prefix}.layer.{j + 1}"))
+        return x
+
+    p = mel_nchw
+    # layer 0 (third->semitone pool, octave fold, equivariant stack)
+    ps = F.conv2d(F.pad(p, (1, 1, 0, 0), mode="circular"),
+                  g("model.0.pool_semi.weight"), g("model.0.pool_semi.bias"),
+                  stride=(3, 1))
+    ps = lrelu(bn(ps, "model.0.pool_semi_b"))
+    pc = octave_pool(ps)
+    pc = conv_stack(pc, "model.0.pc2pc", True, None)
+    # layer 1
+    psix = F.conv_transpose2d(pc, g("model.1.up_sixth.weight"),
+                              g("model.1.up_sixth.bias"), stride=(3, 1))
+    psix = lrelu(bn(psix, "model.1.up_sixth_b"))
+    reps = math.ceil(p.shape[2] / psix.shape[2])
+    p2 = psix.repeat(1, 1, reps, 1)[:, :, :p.shape[2]]
+    p = torch.cat([p, p2], dim=1)
+    p = conv_stack(p, "model.1.p2p", False, (3, 3))
+    pc2 = F.conv2d(F.pad(p, (1, 1, 0, 0), mode="circular"),
+                   g("model.1.pool_semi.weight"), g("model.1.pool_semi.bias"),
+                   stride=(3, 1))
+    pc2 = lrelu(bn(pc2, "model.1.pool_semi_b"))
+    pc2 = octave_pool(pc2)
+    pc = torch.cat([pc, pc2], dim=1)
+    pc = conv_stack(pc, "model.1.pc2pc", True, None)
+    p = F.max_pool2d(p, (1, 2))
+    pc = F.max_pool2d(pc, (1, 2))
+
+    def head(prefix, genre=False):
+        x = pc
+        if genre:
+            x = F.conv2d(x, g(prefix + ".0.weight"), g(prefix + ".0.bias"))
+        else:
+            x = eqconv(x, prefix + ".0")
+        x = lrelu(bn(x, prefix + ".1"))
+        if genre:
+            x = F.conv2d(x, g(prefix + ".3.weight"), g(prefix + ".3.bias"))
+        else:
+            x = eqconv(x, prefix + ".3")
+        return x
+
+    tonic = head("tonic_classifier").mean(dim=-1).flatten(1)
+    key = torch.sigmoid(head("key_classifier").mean(dim=-1).flatten(1))
+    genre = head("genre_classifier", genre=True).mean(dim=-1).flatten(1)
+    return key, tonic, genre
+
+
+def test_forward_parity_flax_vs_torch(rng):
+    model, variables = _random_variables(rng)
+    sd = variables_to_state_dict(variables)
+    mel = rng.normal(size=(2, CFG.pitches, 32, 1)).astype(np.float32)
+
+    key_j, tonic_j, genre_j = model.apply(variables, jnp.asarray(mel), None, False)
+    key_t, tonic_t, genre_t = _torch_forward(
+        sd, torch.tensor(mel).permute(0, 3, 1, 2).double())
+
+    np.testing.assert_allclose(np.asarray(key_j), key_t.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(tonic_j), tonic_t.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(genre_j), genre_t.numpy(),
+                               rtol=1e-4, atol=1e-4)
