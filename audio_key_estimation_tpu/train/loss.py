@@ -1,0 +1,93 @@
+"""Multi-task loss (reference models.py:854-896).
+
+loss = key_weight * BCE(key_sigmoid, key_multihot)
+     + tonic_weight * CE(tonic_logits, tonic_idx)
+     [+ genre_weight * CE(genre_logits[mask], genre_idx[mask]) if any labeled]
+     [+ (1 - mean cosine(key_sigmoid, key_multihot)) if use_cos]
+
+All terms are computed vectorized and jit-safe. Local (per-window) mode
+averages per-sample masked frame losses (models.py:861-876); the genre mask
+drops samples with missing labels (rows that don't sum to 1, models.py:839).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+from ..config import Config
+
+
+def _bce(pred_sigmoid, target, eps=1e-7):
+    p = jnp.clip(pred_sigmoid, eps, 1 - eps)
+    return -(target * jnp.log(p) + (1 - target) * jnp.log(1 - p))
+
+
+def _cross_entropy(logits, labels_idx):
+    return optax.softmax_cross_entropy_with_integer_labels(logits, labels_idx)
+
+
+def compute_loss(cfg: Config, outputs, batch):
+    """Returns (loss, aux) for one batch.
+
+    outputs: (key, tonic[, genre]) from the model.
+    batch: dict with key_labels, tonic_labels, (genre,) and in local mode
+    seq_length (true frame counts).
+    """
+    if cfg.genre:
+        key_out, tonic_out, genre_out = outputs
+    else:
+        key_out, tonic_out = outputs
+        genre_out = None
+
+    key_labels = batch["key_labels"].astype(key_out.dtype)
+    tonic_labels = batch["tonic_labels"]
+    aux = {}
+
+    if cfg.local:
+        # per-frame losses masked to each sample's valid window count
+        # (models.py:864-876): valid = seq_len - (loc_window*frames) + 1
+        valid = (batch["seq_length"] - cfg.loc_window_size * cfg.frames + 1)
+        valid = jnp.maximum(valid, 0)
+        t = key_out.shape[1]
+        mask = jnp.arange(t)[None, :] < valid[:, None]          # (N, T)
+        denom = jnp.maximum(valid, 1).astype(key_out.dtype)
+        bce_frames = _bce(key_out, key_labels).mean(-1)          # (N, T)
+        bce_loss = (jnp.where(mask, bce_frames, 0).sum(-1) / denom).mean()
+        tonic_idx = jnp.argmax(tonic_labels, axis=2)
+        ce_frames = _cross_entropy(tonic_out, tonic_idx)         # (N, T)
+        tonic_loss = (jnp.where(mask, ce_frames, 0).sum(-1) / denom).mean()
+    else:
+        bce_loss = _bce(key_out, key_labels).mean()
+        tonic_idx = jnp.argmax(tonic_labels, axis=1)
+        tonic_loss = _cross_entropy(tonic_out, tonic_idx).mean()
+
+    loss = cfg.key_weight * bce_loss + cfg.tonic_weight * tonic_loss
+    aux["bce_loss"] = bce_loss
+    aux["tonic_loss"] = tonic_loss
+
+    if cfg.genre and genre_out is not None and not cfg.local:
+        genre_labels = batch["genre"]
+        genre_mask = jnp.sum(genre_labels, axis=1) == 1          # (N,)
+        genre_idx = jnp.argmax(genre_labels, axis=1)
+        ce = _cross_entropy(genre_out, genre_idx)
+        cnt = jnp.sum(genre_mask)
+        genre_loss = jnp.where(cnt == 0, 0.0,
+                               jnp.sum(jnp.where(genre_mask, ce, 0.0))
+                               / jnp.maximum(cnt, 1))
+        loss = loss + cfg.genre_weight * genre_loss
+        aux["genre_loss"] = genre_loss
+        aux["genre_mask_count"] = cnt
+
+    if cfg.use_cos:
+        num = jnp.sum(key_out * key_labels, axis=-1)
+        den = jnp.maximum(jnp.linalg.norm(key_out, axis=-1)
+                          * jnp.linalg.norm(key_labels, axis=-1), 1e-8)
+        cos = num / den
+        if cfg.local:
+            cos = cos.mean(-1)
+        loss = loss + (1 - jnp.mean(cos))
+        aux["cos_sim"] = jnp.mean(cos)
+
+    aux["loss"] = loss
+    return loss, aux
