@@ -1,0 +1,132 @@
+"""Audio decode: native C++ fast path with a pure-numpy fallback.
+
+Replaces the reference's torchaudio.load C++ boundary (KeyDataset.py:341).
+Returns (samples_float32_channel0, sample_rate) — the reference consumes
+channel 0 only (KeyDataset.py:481).
+
+MP3 is gated: this environment ships no mp3 decoder; if an `ffmpeg` or
+`mpg123` binary exists on PATH it is used to transcode to wav on the fly,
+otherwise a clear error points at pre-converting the corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import struct
+import subprocess
+import tempfile
+
+import numpy as np
+
+from ..native.binding import load_library
+
+
+class AudioDecodeError(RuntimeError):
+    pass
+
+
+def _decode_wav_native(path: str):
+    lib = load_library()
+    if lib is None:
+        return None
+    h = lib.akx_decode_wav(path.encode())
+    try:
+        n = lib.akx_num_samples(h)
+        sr = lib.akx_sample_rate(h)
+        if n == 0 or sr == 0:
+            err = lib.akx_error(h).decode() or "decode failed"
+            raise AudioDecodeError(f"{path}: {err}")
+        buf = np.ctypeslib.as_array(lib.akx_samples(h), shape=(n,))
+        return buf.copy(), sr
+    finally:
+        lib.akx_free(h)
+
+
+def _decode_wav_numpy(path: str):
+    """Minimal RIFF/WAVE parser (PCM u8/s16/s24/s32, float32/64), channel 0."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise AudioDecodeError(f"{path}: not a RIFF/WAVE file")
+    pos = 12
+    fmt = channels = bits = rate = 0
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        clen = struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8: pos + 8 + clen]
+        if cid == b"fmt " and clen >= 16:
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt == 0xFFFE and clen >= 40:
+                fmt = struct.unpack_from("<H", body, 24)[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if data is None or channels == 0:
+        raise AudioDecodeError(f"{path}: missing fmt/data chunk")
+    if fmt == 1 and bits == 16:
+        x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+    elif fmt == 1 and bits == 32:
+        x = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+    elif fmt == 1 and bits == 8:
+        x = (np.frombuffer(data, "u1").astype(np.float32) - 128.0) / 128.0
+    elif fmt == 1 and bits == 24:
+        raw = np.frombuffer(data, "u1")
+        raw = raw[: (len(raw) // 3) * 3].reshape(-1, 3).astype(np.uint32)
+        v = (raw[:, 0] << 8 | raw[:, 1] << 16 | raw[:, 2] << 24).astype(np.int32) >> 8
+        x = v.astype(np.float32) / 8388608.0
+    elif fmt == 3 and bits == 32:
+        x = np.frombuffer(data, "<f4").astype(np.float32)
+    elif fmt == 3 and bits == 64:
+        x = np.frombuffer(data, "<f8").astype(np.float32)
+    else:
+        raise AudioDecodeError(f"{path}: unsupported encoding fmt={fmt} bits={bits}")
+    x = x[: (len(x) // channels) * channels].reshape(-1, channels)
+    return np.ascontiguousarray(x[:, 0]), rate
+
+
+def _transcode_to_wav(path: str) -> str:
+    for tool, args in (("ffmpeg", ["-y", "-i", path, "-ac", "1"]),
+                       ("mpg123", ["-w"])):
+        exe = shutil.which(tool)
+        if exe:
+            tmp = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
+            tmp.close()
+            if tool == "ffmpeg":
+                cmd = [exe] + args + [tmp.name]
+            else:
+                cmd = [exe, "-w", tmp.name, path]
+            r = subprocess.run(cmd, capture_output=True)
+            if r.returncode == 0:
+                return tmp.name
+            os.unlink(tmp.name)
+    raise AudioDecodeError(
+        f"{path}: no mp3 decoder available (install ffmpeg or pre-convert "
+        "the corpus to wav)")
+
+
+def decode_audio(path: str):
+    """(float32 samples of channel 0, sample_rate). wav native; mp3 gated."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".mp3":
+        tmp = _transcode_to_wav(path)
+        try:
+            return decode_audio(tmp)
+        finally:
+            os.unlink(tmp)
+    out = _decode_wav_native(path)
+    if out is None:
+        out = _decode_wav_numpy(path)
+    return out
+
+
+def write_wav(path: str, samples: np.ndarray, sr: int) -> None:
+    """Write mono PCM16 (test fixtures / transcode output)."""
+    x = np.clip(np.asarray(samples, np.float32), -1.0, 1.0)
+    pcm = np.round(x * 32767.0).astype("<i2").tobytes()
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16))
+        f.write(b"data" + struct.pack("<I", len(pcm)) + pcm)

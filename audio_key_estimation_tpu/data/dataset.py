@@ -1,0 +1,244 @@
+"""In-RAM key dataset with batched on-device CQT preprocessing.
+
+Re-design of the reference KeyDataset (KeyDataset.py:32-264):
+
+ * the per-file librosa-CQT ThreadPoolExecutor loop (:121-136) becomes
+   decode-on-host (C++ pool / threads) + ONE batched CQT per length-bucket on
+   the accelerator — the throughput item of BASELINE.json;
+ * the per-file `.pt` disk cache (:153-209) becomes `.npz` sidecars keyed by
+   (octaves, frames, bins/octave) so variants coexist;
+ * the pad-everything-to-dataset-max collate (:221-264) becomes bucketed
+   padding + true `seq_length` masks (jit wants few static shapes, not one
+   giant one).
+
+Labels are built by utils/labels.py with the loader's vocabularies,
+including local (per-window) Winterreise segments.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as futures
+import os
+import random
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..config import Config
+from ..ops.cqt import CQTParams, cqt, reference_hop
+from ..utils import labels as L
+from . import audio_io
+from .loaders import DatasetLoader
+
+
+def cache_path(file_path: str, cfg: Config, bins_per_octave: int) -> str:
+    stem = os.path.splitext(file_path)[0]
+    return f"{stem}.akx_{cfg.octaves}oct_{cfg.frames}f_{bins_per_octave}bpo.npz"
+
+
+class KeyDataset:
+    """Map-style in-RAM dataset of (log-CQT, labels) per song."""
+
+    def __init__(self, genre: bool, cfg: Config, *,
+                 blacklist_path: str = "short_songs.txt",
+                 use_cache: bool = True, device=None):
+        self.cfg = cfg
+        self.genre = genre
+        self.use_cache = use_cache
+        self.device = device
+        self.blacklist = self._load_blacklist(blacklist_path)
+        self.items: List[Dict] = []
+        self.seq_length_max = 0
+
+    @staticmethod
+    def _load_blacklist(path: str) -> List[str]:
+        if path and os.path.exists(path):
+            with open(path) as f:
+                return [ln.strip() for ln in f if ln.strip()]
+        return []
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, idx):
+        return self.items[idx]
+
+    # ------------------------------------------------------------------
+    def import_data(self, *loaders: DatasetLoader, seed: int = 0,
+                    progress: bool = True):
+        """Collect, shuffle, decode, CQT and label every file (KeyDataset.py:90)."""
+        work = []
+        for loader in loaders:
+            if not isinstance(loader, DatasetLoader):
+                continue
+            for fn in loader.get_filenames():
+                if any(os.path.basename(fn) in b or fn in b
+                       for b in self.blacklist):
+                    continue
+                work.append((fn, loader))
+        rng = random.Random(seed)
+        rng.shuffle(work)
+        self._preprocess(work, progress=progress)
+        self.seq_length_max = max((it["mel"].shape[-1] for it in self.items),
+                                  default=0)
+        if progress:
+            print(f"Length of Data: {len(self.items)}; "
+                  f"Max. Seq. Length: {self.seq_length_max}", flush=True)
+
+    # ------------------------------------------------------------------
+    def _preprocess(self, work, progress=True, decode_batch: int = 16):
+        cfg = self.cfg
+        pending = []  # (file, loader, samples, sr)
+        done = 0
+        with futures.ThreadPoolExecutor(max_workers=8) as pool:
+            decoded = pool.map(self._decode_or_cache, work)
+            for (fn, loader), result in zip(work, decoded):
+                kind, payload = result
+                if kind == "cached":
+                    self._finish_item(fn, loader, payload)
+                elif kind == "samples":
+                    pending.append((fn, loader) + payload)
+                    if len(pending) >= decode_batch:
+                        self._flush_cqt(pending)
+                        pending = []
+                done += 1
+                if progress and done % 50 == 0:
+                    print(f"loaded {done} files", flush=True)
+        if pending:
+            self._flush_cqt(pending)
+        # import order == shuffled work order regardless of cache/batch path
+        order = {fn: i for i, (fn, _) in enumerate(work)}
+        self.items.sort(key=lambda it: order[it["file"]])
+
+    def _decode_or_cache(self, item):
+        fn, loader = item
+        cfg = self.cfg
+        if self.use_cache:
+            cp = cache_path(fn, cfg, cfg.bins_per_octave)
+            if os.path.exists(cp):
+                try:
+                    z = np.load(cp)
+                    mel = z["mel"]
+                    if mel.shape[0] == cfg.pitches:
+                        return "cached", mel
+                except Exception:
+                    pass
+        samples, sr = audio_io.decode_audio(fn)
+        return "samples", (samples, sr)
+
+    def _flush_cqt(self, pending):
+        """Batched CQT over a group of decoded songs (bucketed by length)."""
+        cfg = self.cfg
+        by_sr: Dict[int, list] = {}
+        for fn, loader, samples, sr in pending:
+            if cfg.frames == 0:
+                # hop depends on each file's length (KeyDataset.py:490) —
+                # no batching possible in window_size mode
+                by_sr.setdefault((sr, len(samples)), []).append(
+                    (fn, loader, samples))
+            else:
+                by_sr.setdefault((sr, 0), []).append((fn, loader, samples))
+        for (sr, _), group in by_sr.items():
+            hop = reference_hop(sr, cfg.frames, cfg.window_size,
+                                max(len(s) for _, _, s in group))
+            params = CQTParams(sr=sr, hop=hop,
+                               bins_per_octave=cfg.bins_per_octave,
+                               octaves=cfg.octaves)
+            max_len = max(len(s) for _, _, s in group)
+            batch = np.zeros((len(group), max_len), np.float32)
+            for i, (_, _, s) in enumerate(group):
+                batch[i, :len(s)] = s
+            mels = np.asarray(cqt(jax.numpy.asarray(batch), params))
+            for (fn, loader, s), mel in zip(group, mels):
+                t = 1 + len(s) // hop
+                mel = mel[:, :t]
+                if cfg.frames == 0:
+                    mel = mel[:, :cfg.window_size]
+                if self.use_cache:
+                    try:
+                        np.savez_compressed(
+                            cache_path(fn, cfg, cfg.bins_per_octave), mel=mel)
+                    except OSError:
+                        pass
+                self._finish_item(fn, loader, mel)
+
+    # ------------------------------------------------------------------
+    def _finish_item(self, fn: str, loader: DatasetLoader, mel: np.ndarray):
+        cfg = self.cfg
+        key_sig = loader.get_key_signature(fn)
+        genre = (loader.get_genre(fn) if self.genre
+                 else np.zeros(11, np.float32))
+        if cfg.local and isinstance(key_sig, (list, tuple)):
+            key, sig, tonic, cut, keep = L.local_labels(
+                key_sig, loader.keys, loader.signature, cfg.frames,
+                cfg.loc_window_size)
+            mel = mel[:, cut:][:, :keep]
+        elif cfg.local:
+            t = mel.shape[-1] - (cfg.loc_window_size * cfg.frames - 1)
+            key, sig, tonic = L.tiled_local_labels(
+                key_sig, loader.keys, loader.signature, max(t, 0))
+        else:
+            key, sig, tonic = L.global_labels(key_sig, loader.keys,
+                                              loader.signature)
+        self.items.append({
+            "file": fn, "dataset": loader.name, "mel": mel.astype(np.float32),
+            "key_labels": key.astype(np.float32),
+            "key_signature_id": sig.astype(np.float32),
+            "tonic_labels": tonic.astype(np.float32),
+            "genre": genre.astype(np.float32),
+            "seq_length": np.int32(mel.shape[-1]),
+        })
+
+    # ------------------------------------------------------------------
+    def _bucket_len(self, t: int) -> int:
+        for b in self.cfg.bucket_sizes:
+            if t <= b:
+                return b
+        return -(-t // 64) * 64
+
+    def batches(self, batch_size: int, *, shuffle=False, seed=0,
+                drop_last=False):
+        """Yield padded numpy batches (NHWC mel + labels + seq_length)."""
+        idx = list(range(len(self.items)))
+        if shuffle:
+            random.Random(seed).shuffle(idx)
+        for i in range(0, len(idx), batch_size):
+            chunk = idx[i:i + batch_size]
+            if len(chunk) < batch_size:
+                if drop_last:
+                    return
+                # repeat-pad the final batch to keep jit shapes static;
+                # `valid` marks real samples for metric averaging
+                chunk = chunk + [chunk[-1]] * (batch_size - len(chunk))
+                valid = np.array([True] * (len(idx) - i)
+                                 + [False] * (batch_size - (len(idx) - i)))
+            else:
+                valid = np.ones(len(chunk), bool)
+            items = [self.items[j] for j in chunk]
+            t_max = self._bucket_len(max(it["mel"].shape[-1] for it in items))
+            mel = np.zeros((len(items), self.cfg.pitches, t_max, 1), np.float32)
+            for k, it in enumerate(items):
+                t = it["mel"].shape[-1]
+                mel[k, :, :t, 0] = it["mel"]
+            batch = {
+                "mel": mel,
+                "seq_length": np.array([it["seq_length"] for it in items],
+                                       np.int32),
+                "genre": np.stack([it["genre"] for it in items]),
+                "valid": valid,
+            }
+            if self.cfg.local:
+                lab_t = max(it["key_labels"].shape[0] for it in items)
+                lab_t = max(lab_t, t_max - (self.cfg.loc_window_size
+                                            * self.cfg.frames - 1))
+                for name in ("key_labels", "key_signature_id", "tonic_labels"):
+                    dim = items[0][name].shape[-1]
+                    arr = np.zeros((len(items), lab_t, dim), np.float32)
+                    for k, it in enumerate(items):
+                        arr[k, :it[name].shape[0]] = it[name]
+                    batch[name] = arr
+            else:
+                for name in ("key_labels", "key_signature_id", "tonic_labels"):
+                    batch[name] = np.stack([it[name] for it in items])
+            yield batch

@@ -1,0 +1,81 @@
+"""ctypes bindings for the C++ audio runtime (libakx.so).
+
+Builds on demand with `make` if the shared object is missing (gated — falls
+back cleanly to the pure-numpy decoder in data/audio_io.py when no compiler
+is available). pybind11 is not in this environment; the C ABI + ctypes keeps
+the binding dependency-free.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO = os.path.join(_DIR, "libakx.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
+    lib.akx_decode_wav.restype = ctypes.c_void_p
+    lib.akx_decode_wav.argtypes = [ctypes.c_char_p]
+    lib.akx_samples.restype = ctypes.POINTER(ctypes.c_float)
+    lib.akx_samples.argtypes = [ctypes.c_void_p]
+    lib.akx_num_samples.restype = ctypes.c_int64
+    lib.akx_num_samples.argtypes = [ctypes.c_void_p]
+    lib.akx_sample_rate.restype = ctypes.c_int
+    lib.akx_sample_rate.argtypes = [ctypes.c_void_p]
+    lib.akx_error.restype = ctypes.c_char_p
+    lib.akx_error.argtypes = [ctypes.c_void_p]
+    lib.akx_free.argtypes = [ctypes.c_void_p]
+
+    lib.akx_pool_create.restype = ctypes.c_void_p
+    lib.akx_pool_create.argtypes = [ctypes.c_int]
+    lib.akx_pool_destroy.argtypes = [ctypes.c_void_p]
+    lib.akx_pool_submit.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_char_p]
+    lib.akx_pool_poll.restype = ctypes.c_void_p
+    lib.akx_pool_poll.argtypes = [ctypes.c_void_p]
+    lib.akx_result_id.restype = ctypes.c_int64
+    lib.akx_result_id.argtypes = [ctypes.c_void_p]
+    lib.akx_result_ok.restype = ctypes.c_int
+    lib.akx_result_ok.argtypes = [ctypes.c_void_p]
+    lib.akx_result_samples.restype = ctypes.POINTER(ctypes.c_float)
+    lib.akx_result_samples.argtypes = [ctypes.c_void_p]
+    lib.akx_result_num_samples.restype = ctypes.c_int64
+    lib.akx_result_num_samples.argtypes = [ctypes.c_void_p]
+    lib.akx_result_sample_rate.restype = ctypes.c_int
+    lib.akx_result_sample_rate.argtypes = [ctypes.c_void_p]
+    lib.akx_result_error.restype = ctypes.c_char_p
+    lib.akx_result_error.argtypes = [ctypes.c_void_p]
+    lib.akx_result_free.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    if _tried and not os.path.exists(_SO):
+        return None
+    _tried = True
+    if not os.path.exists(_SO) and build_if_missing:
+        try:
+            subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:
+            return None
+    if not os.path.exists(_SO):
+        return None
+    try:
+        _lib = _declare(ctypes.CDLL(_SO))
+    except OSError:
+        return None
+    return _lib
+
+
+def native_available() -> bool:
+    return load_library() is not None

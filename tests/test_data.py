@@ -1,0 +1,210 @@
+"""Data layer: audio decode (native + numpy), loaders on synthetic corpora,
+KeyDataset pipeline with cache and bucketed batching."""
+
+import os
+
+import numpy as np
+import pytest
+
+from audio_key_estimation_tpu.config import Config
+from audio_key_estimation_tpu.data import audio_io, loaders, synthetic
+from audio_key_estimation_tpu.data.dataset import KeyDataset, cache_path
+from audio_key_estimation_tpu.native.binding import native_available
+
+
+CFG = Config(octaves=4, frames=5)
+
+
+def test_wav_roundtrip_numpy(tmp_path, rng):
+    x = rng.uniform(-0.8, 0.8, 4000).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    audio_io.write_wav(p, x, 22050)
+    y, sr = audio_io._decode_wav_numpy(p)
+    assert sr == 22050
+    np.testing.assert_allclose(y, x, atol=1 / 16000)
+
+
+def test_wav_native_matches_numpy(tmp_path, rng):
+    if not native_available():
+        pytest.skip("C++ toolchain unavailable")
+    x = rng.uniform(-0.8, 0.8, 4000).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    audio_io.write_wav(p, x, 44100)
+    yn, srn = audio_io._decode_wav_numpy(p)
+    yc, src = audio_io._decode_wav_native(p)
+    assert srn == src == 44100
+    np.testing.assert_array_equal(yn, yc)
+
+
+def test_native_decode_pool(tmp_path, rng):
+    if not native_available():
+        pytest.skip("C++ toolchain unavailable")
+    from audio_key_estimation_tpu.native.binding import load_library
+    lib = load_library()
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"{i}.wav")
+        audio_io.write_wav(p, rng.uniform(-0.5, 0.5, 1000 + i), 8000)
+        paths.append(p)
+    pool = lib.akx_pool_create(2)
+    for i, p in enumerate(paths):
+        lib.akx_pool_submit(pool, i, p.encode())
+    got = {}
+    import time
+    deadline = time.time() + 10
+    while len(got) < 4 and time.time() < deadline:
+        r = lib.akx_pool_poll(pool)
+        if not r:
+            time.sleep(0.01)
+            continue
+        assert lib.akx_result_ok(r)
+        got[lib.akx_result_id(r)] = lib.akx_result_num_samples(r)
+        lib.akx_result_free(r)
+    lib.akx_pool_destroy(pool)
+    assert got == {i: 1000 + i for i in range(4)}
+
+
+# ---------------------------------------------------------------------------
+# loaders on synthetic corpora
+# ---------------------------------------------------------------------------
+
+def test_giantsteps_loader(tmp_path):
+    root = synthetic.make_giantsteps_corpus(
+        str(tmp_path / "gs"),
+        [("a", 440, "C major", "techno"), ("b", 523, "A minor", "hip-hop")])
+    ld = loaders.GiantStepsKeyLoader(root)
+    files = ld.get_filenames()
+    assert len(files) == 2
+    assert ld.get_key_signature(files[0]) == "C major"
+    g = ld.get_genre(files[0])           # techno -> Electronic (idx 5)
+    assert g.argmax() == 5 and g.sum() == 1
+    g = ld.get_genre(files[1])           # hip-hop -> Hip-Hop (idx 6)
+    assert g.argmax() == 6
+
+
+def test_winterreise_loader_global_and_local(tmp_path):
+    root = synthetic.make_winterreise_corpus(
+        str(tmp_path / "w"),
+        [("HU33", "D911-01", 440, "D:min")],
+        local_segments={"HU33_D911-01": [(0.0, 1.5, "D:min"),
+                                         (1.5, 3.0, "A:maj")]})
+    ld = loaders.SchubertWinterreiseLoader(root)
+    files = ld.get_filenames()
+    assert len(files) == 1
+    assert ld.get_key_signature(files[0]) == "D:min"
+    ld_local = loaders.SchubertWinterreiseLoader(root, local=True)
+    segs = ld_local.get_key_signature(files[0])
+    assert segs == [(0.0, 1.5, "D:min"), (1.5, 3.0, "A:maj")]
+    assert ld.get_genre(files[0]).argmax() == 0
+
+
+def test_gtzan_loader_filters_unlabeled(tmp_path):
+    root = synthetic.make_gtzan_corpus(
+        str(tmp_path / "g"),
+        [("blues", "blues.00000", 440, "3"),
+         ("rock", "rock.00001", 300, "-1")])
+    ld = loaders.GTZANLoader(root)
+    files = ld.get_filenames()
+    assert len(files) == 1 and "blues" in files[0]
+    assert ld.get_key_signature(files[0]) == "3"
+    assert ld.get_genre(files[0]).argmax() == 8  # blues
+
+
+def test_scraped_loader_threshold_and_size(tmp_path):
+    root = synthetic.make_scraped_corpus(
+        str(tmp_path / "kf"),
+        [("good song", 0.9, "Am"), ("bad song", 0.3, "C")])
+    ld = loaders.KeyFinderLoader(root)
+    files = ld.get_filenames()
+    assert len(files) == 1 and "good song" in files[0]
+    assert ld.get_key_signature(files[0]) == "Am"
+
+
+def test_guitarset_loader(tmp_path):
+    root = synthetic.make_guitarset_corpus(
+        str(tmp_path / "gset"), [("02_BN1-129-Eb_solo", 311, "Eb:major")])
+    ld = loaders.GuitarSetLoader(root)
+    files = ld.get_filenames()
+    assert ld.get_key_signature(files[0]) == "Eb:major"
+
+
+def test_isophonics_typo_preserved():
+    ld = loaders.BeatlesLoader("/nonexistent")
+    assert "Eb:mino" in ld.keys and "Eb:minor" not in ld.keys
+
+
+# ---------------------------------------------------------------------------
+# end-to-end dataset pipeline
+# ---------------------------------------------------------------------------
+
+def _corpus(tmp_path):
+    return synthetic.make_giantsteps_corpus(
+        str(tmp_path / "gs"),
+        [("s1", 261.63, "C major", "techno"),
+         ("s2", 440.0, "A minor", "hip-hop"),
+         ("s3", 392.0, "G major", "techno")])
+
+
+def test_dataset_import_and_batches(tmp_path):
+    root = _corpus(tmp_path)
+    ds = KeyDataset(genre=True, cfg=CFG, blacklist_path="")
+    ds.import_data(loaders.GiantStepsKeyLoader(root), progress=False)
+    assert len(ds) == 3
+    it = ds[0]
+    assert it["mel"].shape[0] == CFG.pitches
+    assert it["key_labels"].shape == (12,)
+    assert it["key_signature_id"].shape == (24,)
+    batches = list(ds.batches(2))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["mel"].shape[0] == 2 and b["mel"].shape[3] == 1
+    assert b["mel"].shape[1] == CFG.pitches
+    assert b["seq_length"].dtype == np.int32
+    assert b["valid"].all()
+    assert not batches[1]["valid"][1]  # repeat-padded final batch
+
+
+def test_dataset_cache_roundtrip(tmp_path):
+    root = _corpus(tmp_path)
+    ds1 = KeyDataset(genre=False, cfg=CFG, blacklist_path="")
+    ds1.import_data(loaders.GiantStepsKeyLoader(root), progress=False)
+    cp = cache_path(ds1[0]["file"], CFG, CFG.bins_per_octave)
+    assert os.path.exists(cp)
+    ds2 = KeyDataset(genre=False, cfg=CFG, blacklist_path="")
+    ds2.import_data(loaders.GiantStepsKeyLoader(root), progress=False)
+    a = {it["file"]: it["mel"] for it in ds1.items}
+    b = {it["file"]: it["mel"] for it in ds2.items}
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], atol=1e-6)
+
+
+def test_dataset_blacklist(tmp_path):
+    root = _corpus(tmp_path)
+    bl = tmp_path / "short_songs.txt"
+    bl.write_text("s2.wav\n")
+    ds = KeyDataset(genre=False, cfg=CFG, blacklist_path=str(bl))
+    ds.import_data(loaders.GiantStepsKeyLoader(root), progress=False)
+    assert len(ds) == 2
+    assert all("s2" not in it["file"] for it in ds.items)
+
+
+def test_dataset_local_mode_winterreise(tmp_path):
+    root = synthetic.make_winterreise_corpus(
+        str(tmp_path / "w"),
+        [("HU33", "D911-01", 440, "D:min")],
+        local_segments={"HU33_D911-01": [(0.0, 20.0, "D:min"),
+                                         (20.0, 40.0, "A:maj")]},
+        seconds=41.0)
+    cfg = CFG.replace(local=True, frames=5, loc_window_size=2)
+    ds = KeyDataset(genre=False, cfg=cfg, blacklist_path="")
+    ds.import_data(loaders.SchubertWinterreiseLoader(root, local=True),
+                   progress=False)
+    it = ds[0]
+    assert it["key_labels"].ndim == 2
+    assert it["mel"].shape[-1] == it["key_labels"].shape[0] + (2 * 5 - 1)
+
+
+def test_custom_cqt_fixture_shape():
+    mel = synthetic.custom_cqt(octaves=10)
+    assert mel.shape == (360, 592)
+    assert mel.max() == 20.0
