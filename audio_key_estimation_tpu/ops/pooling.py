@@ -26,6 +26,12 @@ def octave_max_pool(x: jax.Array, pitch_classes: int = 12,
         fill = jnp.full((x.shape[0], pad, x.shape[2], x.shape[3]),
                         -jnp.inf, dtype=x.dtype)
         x = jnp.concatenate([x, fill], axis=1)
+    if kernel_depth == 1:
+        # The dilated window over rows {pc, pc+12, ...} is exactly a
+        # reshape-(octave, pc)-and-reduce — differentiable and cheaper than
+        # lax.reduce_window with window_dilation (which also has no VJP).
+        n, _, t, c = x.shape
+        return jnp.max(x.reshape(n, ksize, pitch_classes, t, c), axis=1)
     return lax.reduce_window(
         x, -jnp.inf, lax.max,
         window_dimensions=(1, ksize, kernel_depth, 1),

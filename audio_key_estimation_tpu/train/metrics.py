@@ -30,25 +30,23 @@ def _cosine(a, b, axis=-1, eps=1e-8):
     return num / jnp.maximum(den, eps)
 
 
-def mirex_score(key_labels, key_preds, tonic_labels, tonic_preds,
-                key_signature_id):
-    """Batch MIREX breakdown (models.py:1065-1116).
+def mirex_categories(key_labels, key_preds, tonic_labels, tonic_preds,
+                     key_signature_id):
+    """Per-sample MIREX category indicators (models.py:1065-1113).
 
-    All inputs (N, ·): key_labels (N,12) multi-hot, key_preds (N,12) sigmoid,
-    tonic_* (N,12), key_signature_id (N,24).
-    Returns dict of scalars: mirex, correct, fifths, relative, parallel,
-    other, accuracy (all fractions of the batch).
+    Inputs (..., 12/24) with any leading shape. Returns a dict of float
+    arrays with that leading shape: correct, fifths, relative, parallel,
+    other, accuracy, plus per-sample 'mirex' contribution.
     """
-    ksm = jnp.asarray(KEY_SIGNATURE_MAP, key_preds.dtype)          # (21,12)
-    sims = _cosine(key_preds[:, None, :], ksm[None, :, :])          # (N,21)
-    pred_key_id = jnp.argmax(sims, axis=1)                          # (N,)
-    key_pred_rows = ksm[pred_key_id]                                # (N,12)
-    key_sig_label_id = jnp.argmax(key_signature_id, axis=1)         # (N,)
+    ksm = jnp.asarray(KEY_SIGNATURE_MAP, key_preds.dtype)            # (21,12)
+    sims = _cosine(key_preds[..., None, :], ksm)                     # (...,21)
+    pred_key_id = jnp.argmax(sims, axis=-1)
+    key_pred_rows = ksm[pred_key_id]
+    key_sig_label_id = jnp.argmax(key_signature_id, axis=-1)
 
-    correct_keys = jnp.sum(key_pred_rows == key_labels, axis=1)     # (N,)
-    exact = correct_keys == 12
-    correct_tonic = (jnp.argmax(tonic_labels, axis=1)
-                     == jnp.argmax(tonic_preds, axis=1))
+    exact = jnp.sum(key_pred_rows == key_labels, axis=-1) == 12
+    correct_tonic = (jnp.argmax(tonic_labels, axis=-1)
+                     == jnp.argmax(tonic_preds, axis=-1))
     diff = jnp.abs(pred_key_id - key_sig_label_id)
 
     fifths = (diff == 1) & ~(correct_tonic & exact)
@@ -56,15 +54,20 @@ def mirex_score(key_labels, key_preds, tonic_labels, tonic_preds,
     relative = exact & ~correct_tonic & ~fifths & ~correct
     parallel = correct_tonic & ~exact & ~fifths & ~correct & ~relative
     other = ~(fifths | correct | relative | parallel)
+    out = {k: v.astype(jnp.float32) for k, v in dict(
+        correct=correct, fifths=fifths, relative=relative, parallel=parallel,
+        other=other, accuracy=exact).items()}
+    out["mirex"] = (out["correct"] + 0.5 * out["fifths"]
+                    + 0.3 * out["relative"] + 0.2 * out["parallel"])
+    return out
 
-    n = key_labels.shape[0]
-    f = lambda m: jnp.sum(m) / n  # noqa: E731
-    mirex = f(correct) + 0.5 * f(fifths) + 0.3 * f(relative) + 0.2 * f(parallel)
-    return {
-        "mirex": mirex, "correct": f(correct), "fifths": f(fifths),
-        "relative": f(relative), "parallel": f(parallel), "other": f(other),
-        "accuracy": f(exact),
-    }
+
+def mirex_score(key_labels, key_preds, tonic_labels, tonic_preds,
+                key_signature_id):
+    """Batch-averaged MIREX breakdown (models.py:1065-1116)."""
+    cats = mirex_categories(key_labels, key_preds, tonic_labels, tonic_preds,
+                            key_signature_id)
+    return {k: jnp.mean(v) for k, v in cats.items()}
 
 
 def all_key_accuracy(key_labels, key_preds):

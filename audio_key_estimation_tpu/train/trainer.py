@@ -1,0 +1,252 @@
+"""Training/eval harness: jitted steps, grad accumulation, DP mesh, early
+stopping and best-on-val-MIREX checkpointing.
+
+Replaces the reference's PyTorch-Lightning wiring (models.py:819-1027,
+train_model.py:110-124) with a functional JAX loop:
+
+ * `train_step` — value_and_grad over a lax.scan of `acc_grad` microbatches
+   (the reference's Trainer(accumulate_grad_batches=8)), Adam update,
+   BatchNorm running-stat carry; jitted once, batch sharded over the mesh's
+   'data' axis so XLA all-reduces grads over ICI.
+ * `eval_step` — eval-mode forward + loss + per-sample MIREX categories.
+ * `Trainer.fit` — epoch loop, per-epoch validation, EarlyStopping
+   (val_loss, patience, min mode — train_model.py:110), manual best-model
+   save on improved val MIREX (models.py:991-993).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..config import Config
+from ..models import PitchClassNet
+from ..parallel.mesh import make_mesh, replicate, shard_batch
+from . import checkpoints as ckpt_lib
+from .loss import compute_loss
+from .metrics import all_key_accuracy, genre_accuracy, mirex_categories
+from .optim import make_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(cfg: Config, rng_key, optimizer,
+                       time_frames: int = 64):
+    model = PitchClassNet(cfg, dtype=jnp.dtype(cfg.dtype))
+    mel = jnp.zeros((1, cfg.pitches, time_frames, 1), jnp.dtype(cfg.dtype))
+    variables = model.init(rng_key, mel, None, False)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(variables["params"]))
+    return model, state
+
+
+def _forward(model, cfg, params, batch_stats, batch, train):
+    seq = batch.get("seq_length") if (cfg.frames > 0 or cfg.local) else None
+    variables = {"params": params, "batch_stats": batch_stats}
+    if train:
+        outputs, mutated = model.apply(variables, batch["mel"], seq, True,
+                                       mutable=["batch_stats"])
+        return outputs, mutated["batch_stats"]
+    return model.apply(variables, batch["mel"], seq, False), batch_stats
+
+
+def make_train_step(model, cfg: Config, optimizer):
+    """Returns jitted train_step(state, batch) -> (state, metrics).
+
+    batch arrays are stacked (acc_grad, micro_bs, ...).
+    """
+
+    def loss_fn(params, batch_stats, micro):
+        outputs, new_bs = _forward(model, cfg, params, batch_stats, micro, True)
+        loss, aux = compute_loss(cfg, outputs, micro)
+        return loss, (aux, new_bs)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def micro_step(carry, micro):
+            grads_acc, bs = carry
+            (loss, (aux, new_bs)), grads = grad_fn(state.params, bs, micro)
+            grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
+            return (grads_acc, new_bs), loss
+
+        (grads, new_bs), losses = jax.lax.scan(
+            micro_step, (zeros, state.batch_stats), batch)
+        acc = losses.shape[0]
+        grads = jax.tree_util.tree_map(lambda g: g / acc, grads)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  batch_stats=new_bs, opt_state=opt_state)
+        return new_state, {"loss": jnp.mean(losses)}
+
+    return train_step
+
+
+def make_eval_step(model, cfg: Config):
+    """Returns jitted eval_step(state, batch) -> per-sample metric arrays."""
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        outputs, _ = _forward(model, cfg, state.params, state.batch_stats,
+                              batch, False)
+        loss, aux = compute_loss(cfg, outputs, batch)
+        if cfg.genre:
+            key_out, tonic_out, genre_out = outputs
+        else:
+            key_out, tonic_out = outputs
+            genre_out = None
+        if cfg.local:
+            # per-frame categories averaged over each sample's valid windows
+            valid = jnp.maximum(
+                batch["seq_length"] - cfg.loc_window_size * cfg.frames + 1, 0)
+            t = key_out.shape[1]
+            mask = jnp.arange(t)[None, :] < valid[:, None]
+            cats = mirex_categories(batch["key_labels"], key_out,
+                                    batch["tonic_labels"], tonic_out,
+                                    batch["key_signature_id"])
+            denom = jnp.maximum(valid, 1)
+            cats = {k: jnp.sum(jnp.where(mask, v, 0), axis=1) / denom
+                    for k, v in cats.items()}
+            tonic_ok = (jnp.argmax(tonic_out, -1)
+                        == jnp.argmax(batch["tonic_labels"], -1))
+            acc_tonic = jnp.sum(jnp.where(mask, tonic_ok, 0), axis=1) / denom
+        else:
+            cats = mirex_categories(batch["key_labels"], key_out,
+                                    batch["tonic_labels"], tonic_out,
+                                    batch["key_signature_id"])
+            acc_tonic = (jnp.argmax(tonic_out, -1)
+                         == jnp.argmax(batch["tonic_labels"], -1)
+                         ).astype(jnp.float32)
+        per_sample = dict(cats)
+        per_sample["accuracy_tonic"] = acc_tonic
+        if genre_out is not None and not cfg.local:
+            gmask = jnp.sum(batch["genre"], axis=1) == 1
+            ok = (jnp.argmax(genre_out, -1) == jnp.argmax(batch["genre"], -1))
+            per_sample["accuracy_genre"] = ok.astype(jnp.float32)
+            per_sample["genre_labeled"] = gmask.astype(jnp.float32)
+        return loss, per_sample
+
+    return eval_step
+
+
+def evaluate(eval_step, state, dataset, batch_size: int,
+             mesh=None) -> Dict[str, float]:
+    """Masked aggregation over a dataset (repeat-padded batches excluded)."""
+    sums: Dict[str, float] = {}
+    losses, n_batches, n_samples = [], 0, 0
+    genre_hits = genre_cnt = 0.0
+    for batch in dataset.batches(batch_size):
+        valid = batch.pop("valid")
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        loss, per_sample = eval_step(state, batch)
+        losses.append(float(loss))
+        n_batches += 1
+        v = np.asarray(valid)
+        n_samples += v.sum()
+        ps = {k: np.asarray(x) for k, x in per_sample.items()}
+        for k in ("mirex", "correct", "fifths", "relative", "parallel",
+                  "other", "accuracy", "accuracy_tonic"):
+            if k in ps:
+                sums[k] = sums.get(k, 0.0) + float(ps[k][v].sum())
+        if "genre_labeled" in ps:
+            genre_hits += float((ps["accuracy_genre"] * ps["genre_labeled"])[v].sum())
+            genre_cnt += float(ps["genre_labeled"][v].sum())
+    out = {k: s / max(n_samples, 1) for k, s in sums.items()}
+    out["loss"] = float(np.mean(losses)) if losses else float("nan")
+    out["accuracy_genre"] = genre_hits / genre_cnt if genre_cnt else 0.0
+    out["num_samples"] = int(n_samples)
+    return out
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Epoch loop with early stopping + checkpointing (train_model.py:110-124)."""
+    cfg: Config
+    train_data: Any
+    val_data: Any
+    log_dir: Optional[str] = None
+    use_mesh: bool = True
+
+    def fit(self, seed: int = 0, metrics_writer=None):
+        cfg = self.cfg
+        micro_bs = cfg.batch_size
+        step_items = micro_bs * cfg.acc_grad
+        steps_per_epoch = max(len(self.train_data) // step_items, 1)
+        optimizer = make_optimizer(cfg, steps_per_epoch)
+        model, state = create_train_state(cfg, jax.random.PRNGKey(seed),
+                                          optimizer)
+        mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes) if self.use_mesh else None
+        if mesh is not None:
+            state = replicate(state, mesh)
+        train_step = make_train_step(model, cfg, optimizer)
+        eval_step = make_eval_step(model, cfg)
+
+        best_mirex = -1.0
+        best_val_loss = float("inf")
+        patience_left = cfg.early_stop_patience
+        history = []
+        for epoch in range(cfg.epochs):
+            t0 = time.time()
+            train_losses = []
+            for batch in self.train_data.batches(step_items, shuffle=True,
+                                                 seed=seed + epoch,
+                                                 drop_last=True):
+                batch.pop("valid", None)
+                batch = {k: np.reshape(v, (cfg.acc_grad, micro_bs)
+                                       + v.shape[1:])
+                         for k, v in batch.items()}
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh, batch_dim=1)
+                state, m = train_step(state, batch)
+                train_losses.append(float(m["loss"]))
+            val = evaluate(eval_step, state, self.val_data, micro_bs, mesh)
+            row = {"epoch": epoch,
+                   "train_loss": float(np.mean(train_losses)) if train_losses
+                   else float("nan"),
+                   "epoch_seconds": time.time() - t0,
+                   **{f"val_{k}": v for k, v in val.items()}}
+            history.append(row)
+            if metrics_writer is not None:
+                metrics_writer(row)
+            print(f"epoch {epoch}: train_loss={row['train_loss']:.4f} "
+                  f"val_loss={val['loss']:.4f} val_mirex={val.get('mirex', 0):.4f}",
+                  flush=True)
+
+            if val.get("mirex", 0) > best_mirex and not cfg.no_ckpt:
+                best_mirex = val["mirex"]
+                if self.log_dir:
+                    ckpt_lib.save(self.log_dir, state, cfg, name="best_model")
+            if val["loss"] < best_val_loss:
+                best_val_loss = val["loss"]
+                patience_left = cfg.early_stop_patience
+            else:
+                patience_left -= 1
+                if patience_left <= 0:
+                    print(f"early stop at epoch {epoch}", flush=True)
+                    break
+        return state, history
