@@ -29,6 +29,20 @@ def make_mesh(mesh_shape: Sequence[int] = (),
     return Mesh(dev, tuple(axis_names[:dev.ndim]))
 
 
+def fit_data_mesh(batch_size: int, mesh_shape: Sequence[int] = (),
+                  axis_names: Sequence[str] = ("data",)) -> Mesh:
+    """A 'data' mesh no larger than what the batch divides evenly.
+
+    With an explicit mesh_shape the caller takes responsibility; otherwise
+    pick the largest device count d <= len(devices) with batch_size % d == 0
+    (debug runs with batch 2 must not try to shard over 8 chips)."""
+    if mesh_shape:
+        return make_mesh(mesh_shape, axis_names)
+    n = len(jax.devices())
+    d = max(k for k in range(1, n + 1) if batch_size % k == 0)
+    return make_mesh((d,), axis_names)
+
+
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree across the mesh (params / optimizer state)."""
     sharding = NamedSharding(mesh, P())

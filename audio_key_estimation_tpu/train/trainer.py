@@ -29,7 +29,7 @@ from flax import struct
 
 from ..config import Config
 from ..models import PitchClassNet
-from ..parallel.mesh import make_mesh, replicate, shard_batch
+from ..parallel.mesh import fit_data_mesh, replicate, shard_batch
 from . import checkpoints as ckpt_lib
 from .loss import compute_loss
 from .metrics import all_key_accuracy, genre_accuracy, mirex_categories
@@ -200,7 +200,8 @@ class Trainer:
         optimizer = make_optimizer(cfg, steps_per_epoch)
         model, state = create_train_state(cfg, jax.random.PRNGKey(seed),
                                           optimizer)
-        mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axes) if self.use_mesh else None
+        mesh = (fit_data_mesh(micro_bs, cfg.mesh_shape, cfg.mesh_axes)
+                if self.use_mesh else None)
         if mesh is not None:
             state = replicate(state, mesh)
         train_step = make_train_step(model, cfg, optimizer)
