@@ -15,9 +15,7 @@ import os
 
 from ..config import add_config_args, config_from_args
 from ..train import checkpoints as ckpt_lib
-from ..train.trainer import Trainer, make_eval_step, evaluate
-from ..train.optim import make_optimizer
-from ..train.trainer import create_train_state
+from ..train.trainer import Trainer, evaluate
 from ..utils.logging import MetricsLogger, write_tuning_results
 from .datasets import build_train_val
 
@@ -40,15 +38,13 @@ def main(argv=None):
     state, history = trainer.fit(seed=cfg.seed, metrics_writer=logger)
 
     # final validation with the best checkpoint (train_model.py:123-124)
-    from ..models import PitchClassNet
-    import jax.numpy as jnp
-    best, _ = ckpt_lib.load(run_dir)
-    model_state = state.replace(params=best["params"],
-                                batch_stats=best["batch_stats"])
-    from ..train.trainer import make_eval_step
-    model = PitchClassNet(cfg, dtype=jnp.dtype(cfg.dtype))
-    eval_step = make_eval_step(model, cfg)
-    val = evaluate(eval_step, model_state, val_data, cfg.batch_size)
+    if not cfg.no_ckpt and os.path.exists(os.path.join(run_dir, "best_model")):
+        best, _ = ckpt_lib.load(run_dir)
+        model_state = state.replace(params=best["params"],
+                                    batch_stats=best["batch_stats"])
+    else:
+        model_state = state
+    val = evaluate(trainer.eval_step, model_state, val_data, cfg.batch_size)
     print({f"val_{k}": v for k, v in val.items()})
     write_tuning_results(os.path.join(os.getcwd(),
                                       "Tuning_results_Experiment_1.csv"),

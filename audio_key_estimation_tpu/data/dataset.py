@@ -96,7 +96,7 @@ class KeyDataset:
             for (fn, loader), result in zip(work, decoded):
                 kind, payload = result
                 if kind == "cached":
-                    self._finish_item(fn, loader, payload)
+                    self._finish_item(fn, loader, *payload)
                 elif kind == "samples":
                     pending.append((fn, loader) + payload)
                     if len(pending) >= decode_batch:
@@ -115,15 +115,15 @@ class KeyDataset:
         fn, loader = item
         cfg = self.cfg
         if self.use_cache:
-            cp = cache_path(fn, cfg, cfg.bins_per_octave)
-            if os.path.exists(cp):
-                try:
-                    z = np.load(cp)
-                    mel = z["mel"]
-                    if mel.shape[0] == cfg.pitches:
-                        return "cached", mel
-                except Exception:
-                    pass
+            try:
+                mel = np.load(cache_path(fn, cfg, cfg.bins_per_octave))["mel"]
+                mel2 = None
+                if cfg.multi_scale:
+                    mel2 = np.load(cache_path(fn, cfg, 12))["mel"]
+                if mel.shape[0] == cfg.pitches:
+                    return "cached", (mel, mel2)
+            except Exception:
+                pass
         samples, sr = audio_io.decode_audio(fn)
         return "samples", (samples, sr)
 
@@ -142,29 +142,41 @@ class KeyDataset:
         for (sr, _), group in by_sr.items():
             hop = reference_hop(sr, cfg.frames, cfg.window_size,
                                 max(len(s) for _, _, s in group))
-            params = CQTParams(sr=sr, hop=hop,
-                               bins_per_octave=cfg.bins_per_octave,
-                               octaves=cfg.octaves)
             max_len = max(len(s) for _, _, s in group)
             batch = np.zeros((len(group), max_len), np.float32)
             for i, (_, _, s) in enumerate(group):
                 batch[i, :len(s)] = s
-            mels = np.asarray(cqt(jax.numpy.asarray(batch), params))
-            for (fn, loader, s), mel in zip(group, mels):
+            bpos = [cfg.bins_per_octave]
+            if cfg.multi_scale:
+                bpos.append(12)  # second scale: semitone CQT (KeyDataset.py:194-209)
+            mels_by_bpo = {}
+            for bpo in bpos:
+                params = CQTParams(sr=sr, hop=hop, bins_per_octave=bpo,
+                                   octaves=cfg.octaves)
+                mels_by_bpo[bpo] = np.asarray(
+                    cqt(jax.numpy.asarray(batch), params))
+            for i, (fn, loader, s) in enumerate(group):
                 t = 1 + len(s) // hop
-                mel = mel[:, :t]
+                mel = mels_by_bpo[bpos[0]][i][:, :t]
+                mel2 = (mels_by_bpo[12][i][:, :t] if cfg.multi_scale else None)
                 if cfg.frames == 0:
                     mel = mel[:, :cfg.window_size]
+                    if mel2 is not None:
+                        mel2 = mel2[:, :cfg.window_size]
                 if self.use_cache:
                     try:
                         np.savez_compressed(
                             cache_path(fn, cfg, cfg.bins_per_octave), mel=mel)
+                        if mel2 is not None:
+                            np.savez_compressed(cache_path(fn, cfg, 12),
+                                                mel=mel2)
                     except OSError:
                         pass
-                self._finish_item(fn, loader, mel)
+                self._finish_item(fn, loader, mel, mel2)
 
     # ------------------------------------------------------------------
-    def _finish_item(self, fn: str, loader: DatasetLoader, mel: np.ndarray):
+    def _finish_item(self, fn: str, loader: DatasetLoader, mel: np.ndarray,
+                     mel2: Optional[np.ndarray] = None):
         cfg = self.cfg
         key_sig = loader.get_key_signature(fn)
         genre = (loader.get_genre(fn) if self.genre
@@ -181,7 +193,11 @@ class KeyDataset:
         else:
             key, sig, tonic = L.global_labels(key_sig, loader.keys,
                                               loader.signature)
+        item_extra = {}
+        if mel2 is not None:
+            item_extra["mel2"] = mel2.astype(np.float32)
         self.items.append({
+            **item_extra,
             "file": fn, "dataset": loader.name, "mel": mel.astype(np.float32),
             "key_labels": key.astype(np.float32),
             "key_signature_id": sig.astype(np.float32),
@@ -221,7 +237,15 @@ class KeyDataset:
             for k, it in enumerate(items):
                 t = it["mel"].shape[-1]
                 mel[k, :, :t, 0] = it["mel"]
+            mel2 = None
+            if self.cfg.multi_scale and "mel2" in items[0]:
+                rows2 = items[0]["mel2"].shape[0]
+                mel2 = np.zeros((len(items), rows2, t_max, 1), np.float32)
+                for k, it in enumerate(items):
+                    t = it["mel2"].shape[-1]
+                    mel2[k, :, :t, 0] = it["mel2"]
             batch = {
+                **({"mel2": mel2} if mel2 is not None else {}),
                 "mel": mel,
                 "seq_length": np.array([it["seq_length"] for it in items],
                                        np.int32),

@@ -28,7 +28,7 @@ import optax
 from flax import struct
 
 from ..config import Config
-from ..models import PitchClassNet
+from ..models import PitchClassNet, PitchClassNetMulti
 from ..parallel.mesh import fit_data_mesh, replicate, shard_batch
 from . import checkpoints as ckpt_lib
 from .loss import compute_loss
@@ -45,9 +45,16 @@ class TrainState(struct.PyTreeNode):
 
 def create_train_state(cfg: Config, rng_key, optimizer,
                        time_frames: int = 64):
-    model = PitchClassNet(cfg, dtype=jnp.dtype(cfg.dtype))
-    mel = jnp.zeros((1, cfg.pitches, time_frames, 1), jnp.dtype(cfg.dtype))
-    variables = model.init(rng_key, mel, None, False)
+    dtype = jnp.dtype(cfg.dtype)
+    if cfg.multi_scale:
+        model = PitchClassNetMulti(cfg, dtype=dtype)
+        mel1 = jnp.zeros((1, cfg.octaves * 36, time_frames, 1), dtype)
+        mel2 = jnp.zeros((1, cfg.octaves * 12, time_frames, 1), dtype)
+        variables = model.init(rng_key, mel1, mel2, None, False)
+    else:
+        model = PitchClassNet(cfg, dtype=dtype)
+        mel = jnp.zeros((1, cfg.pitches, time_frames, 1), dtype)
+        variables = model.init(rng_key, mel, None, False)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
@@ -59,11 +66,13 @@ def create_train_state(cfg: Config, rng_key, optimizer,
 def _forward(model, cfg, params, batch_stats, batch, train):
     seq = batch.get("seq_length") if (cfg.frames > 0 or cfg.local) else None
     variables = {"params": params, "batch_stats": batch_stats}
+    args = ((batch["mel"], batch["mel2"], seq) if cfg.multi_scale
+            else (batch["mel"], seq))
     if train:
-        outputs, mutated = model.apply(variables, batch["mel"], seq, True,
+        outputs, mutated = model.apply(variables, *args, True,
                                        mutable=["batch_stats"])
         return outputs, mutated["batch_stats"]
-    return model.apply(variables, batch["mel"], seq, False), batch_stats
+    return model.apply(variables, *args, False), batch_stats
 
 
 def make_train_step(model, cfg: Config, optimizer):
@@ -206,6 +215,7 @@ class Trainer:
             state = replicate(state, mesh)
         train_step = make_train_step(model, cfg, optimizer)
         eval_step = make_eval_step(model, cfg)
+        self.model, self.eval_step, self.mesh = model, eval_step, mesh
 
         best_mirex = -1.0
         best_val_loss = float("inf")

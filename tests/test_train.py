@@ -131,3 +131,24 @@ def test_evaluate_masks_padded_samples(tmp_path):
     out = evaluate(eval_step, state, ds, cfg.batch_size)
     assert out["num_samples"] == 5
     assert 0.0 <= out["mirex"] <= 1.0
+
+
+def test_multi_scale_training(tmp_path):
+    """Two-resolution ensemble end to end: dataset produces mel2, the multi
+    model trains one epoch (PitchClassNet_Multi capability,
+    models.py:1118-1189, with the documented intended-behavior fixes)."""
+    cfg = CFG.replace(multi_scale=True, epochs=1, no_ckpt=True,
+                      batch_size=4, acc_grad=1)
+    keys = ["C major", "A minor"]
+    songs = [(f"ms{i}", 220.0 * 2 ** (i / 12), keys[i % 2], "techno")
+             for i in range(4)]
+    root = synthetic.make_giantsteps_corpus(str(tmp_path / "gs_ms"), songs)
+    ds = KeyDataset(genre=False, cfg=cfg, blacklist_path="", use_cache=False)
+    ds.import_data(loaders.GiantStepsKeyLoader(root), progress=False)
+    assert "mel2" in ds[0]
+    assert ds[0]["mel2"].shape[0] == cfg.octaves * 12
+    b = next(ds.batches(2))
+    assert b["mel2"].shape[1] == cfg.octaves * 12
+    trainer = Trainer(cfg, ds, ds, use_mesh=True)
+    state, history = trainer.fit(seed=0)
+    assert np.isfinite(history[0]["train_loss"])
