@@ -195,9 +195,14 @@ class PitchClassNet(nn.Module):
     def __call__(self, mel, seq_length=None, train: bool = False):
         c = self.cfg
         p, pc = mel, None
+        layer_cls = PitchClassNetLayer
+        if c.remat:
+            # trade FLOPs for memory like the reference's dense-block
+            # torch.utils.checkpoint (models.py:485-489), but whole-stage
+            layer_cls = nn.remat(PitchClassNetLayer, static_argnums=(2,))
         for i in range(c.num_layers):
-            p, pc = PitchClassNetLayer(c, i, dtype=self.dtype,
-                                       name=f"model_{i}")((p, pc), train)
+            p, pc = layer_cls(c, i, dtype=self.dtype,
+                              name=f"model_{i}")((p, pc), train)
 
         final_ch = head_in_channels(c.num_layers, c.n_filters, c.conv_layers,
                                     c.denseblock)

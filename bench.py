@@ -8,12 +8,16 @@ Workload: GiantSteps-like batch — B two-minute clips at 22.05 kHz through
 the full front-end (8-octave 36-bin log-CQT) and the flagship PitchClassNet
 (reference train_model.py defaults), end-to-end jitted. `vs_baseline` is the
 speedup over the same pipeline on one host CPU (the reference's librosa+torch
-path is CPU-bound per file; BASELINE.json targets >= 50x single-CPU).
+path is CPU-bound per file; BASELINE.json north_star targets >= 50x).
+
+Timing note: under the axon relay backend, block_until_ready returns before
+remote execution finishes — every timed repetition therefore reduces the
+outputs to a scalar ON DEVICE and fetches it to host, which forces the full
+round trip (dispatch + execute + scalar readback).
 
 Extra diagnostics go to stderr; stdout carries only the JSON line.
 """
 
-import functools
 import json
 import os
 import sys
@@ -24,6 +28,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                                    ".jax_cache"))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -35,6 +44,7 @@ from audio_key_estimation_tpu.ops.cqt_pallas import cqt_pallas
 SR = 22050
 CLIP_SECONDS = 120
 BATCH = 16
+REPS = 5
 
 
 def log(*a):
@@ -47,22 +57,22 @@ def build_pipeline(cfg: Config, params: CQTParams, variables, use_pallas: bool):
 
     @jax.jit
     def pipeline(y, seq_length):
-        mel = front(y, params) if not use_pallas else cqt_pallas(y, params)
-        mel = mel[:, :, :, None]
-        return model.apply(variables, mel, seq_length, False)
+        mel = front(y, params)[:, :, :, None]
+        key, tonic = model.apply(variables, mel, seq_length, False)
+        # scalar reduction: fetching this forces completion of the whole step
+        return jnp.sum(key) + jnp.sum(tonic)
 
     return pipeline
 
 
-def time_pipeline(pipeline, y, seq, reps=5):
-    out = pipeline(y, seq)
-    jax.block_until_ready(out)
+def time_pipeline(pipeline, ys, seq, reps=REPS):
+    float(pipeline(ys[0], seq))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = pipeline(y, seq)
-        jax.block_until_ready(out)
+    acc = 0.0
+    for i in range(reps):
+        acc += float(pipeline(ys[i % len(ys)], seq))
     dt = (time.perf_counter() - t0) / reps
-    return dt
+    return dt, acc
 
 
 def main():
@@ -73,8 +83,9 @@ def main():
     n_frames = 1 + (SR * CLIP_SECONDS) // hop
 
     rng = np.random.default_rng(0)
-    y = rng.normal(size=(BATCH, SR * CLIP_SECONDS)).astype(np.float32) * 0.1
-    seq = np.full((BATCH,), n_frames, np.int32)
+    y_host = [rng.normal(size=(BATCH, SR * CLIP_SECONDS)).astype(np.float32)
+              * 0.1 for _ in range(2)]
+    seq_host = np.full((BATCH,), n_frames, np.int32)
 
     mel0 = jnp.zeros((1, cfg.pitches, n_frames, 1), jnp.float32)
     model = PitchClassNet(cfg)
@@ -82,23 +93,24 @@ def main():
                            jnp.full((1,), n_frames, jnp.int32), False)
 
     audio_minutes = BATCH * CLIP_SECONDS / 60.0
-
-    # --- TPU (or default backend) ---
     dev = jax.devices()[0]
     log(f"benchmarking on {dev.device_kind} ({dev.platform})")
-    yj = jax.device_put(jnp.asarray(y), dev)
-    seqj = jax.device_put(jnp.asarray(seq), dev)
+    ys = [jax.device_put(jnp.asarray(y), dev) for y in y_host]
+    seq = jax.device_put(jnp.asarray(seq_host), dev)
+
     best_dt, best_kind = None, None
-    for use_pallas in (False, True):
-        if use_pallas and dev.platform not in ("tpu",):
+    for use_pallas in (True, False):
+        if use_pallas and dev.platform != "tpu":
             continue
         try:
+            t0 = time.perf_counter()
             pipe = build_pipeline(cfg, params, variables, use_pallas)
-            dt = time_pipeline(pipe, yj, seqj)
-            log(f"{'pallas' if use_pallas else 'xla'} front-end: {dt * 1e3:.1f} ms "
-                f"-> {audio_minutes / dt:.1f} audio-min/s")
+            dt, _ = time_pipeline(pipe, ys, seq)
+            kind = "pallas" if use_pallas else "xla"
+            log(f"{kind} front-end: compile {time.perf_counter() - t0 - dt * REPS:.0f}s, "
+                f"{dt * 1e3:.1f} ms/batch -> {audio_minutes / dt:.1f} audio-min/s")
             if best_dt is None or dt < best_dt:
-                best_dt, best_kind = dt, "pallas" if use_pallas else "xla"
+                best_dt, best_kind = dt, kind
         except Exception as e:
             log(f"{'pallas' if use_pallas else 'xla'} path failed: {e!r}")
     if best_dt is None:
@@ -108,22 +120,27 @@ def main():
     tpu_throughput = audio_minutes / best_dt
     log(f"best: {best_kind} {tpu_throughput:.1f} audio-min/s/chip")
 
-    # --- single-CPU baseline: same pipeline, one clip ---
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        y1 = jnp.asarray(y[:1])
-        s1 = jnp.asarray(seq[:1])
-        pipe_cpu = build_pipeline(cfg, params, variables, False)
-        dt_cpu = time_pipeline(pipe_cpu, y1, s1, reps=2)
-    cpu_throughput = (CLIP_SECONDS / 60.0) / dt_cpu
-    log(f"cpu baseline: {dt_cpu * 1e3:.1f} ms/clip -> "
-        f"{cpu_throughput:.2f} audio-min/s")
+    # --- single-CPU baseline: identical pipeline, one clip ---
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            y1 = [jnp.asarray(y_host[0][:1])]
+            s1 = jnp.asarray(seq_host[:1])
+            pipe_cpu = build_pipeline(cfg, params, variables, False)
+            dt_cpu, _ = time_pipeline(pipe_cpu, y1, s1, reps=2)
+        cpu_throughput = (CLIP_SECONDS / 60.0) / dt_cpu
+        log(f"cpu baseline: {dt_cpu * 1e3:.0f} ms/clip -> "
+            f"{cpu_throughput:.2f} audio-min/s")
+        ratio = tpu_throughput / cpu_throughput
+    except Exception as e:
+        log(f"cpu baseline failed: {e!r}")
+        ratio = 0.0
 
     print(json.dumps({
         "metric": "audio_min_per_sec_per_chip",
         "value": round(tpu_throughput, 2),
         "unit": "audio-min/s/chip",
-        "vs_baseline": round(tpu_throughput / cpu_throughput, 2),
+        "vs_baseline": round(ratio, 2),
     }))
 
 

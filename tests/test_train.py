@@ -152,3 +152,38 @@ def test_multi_scale_training(tmp_path):
     trainer = Trainer(cfg, ds, ds, use_mesh=True)
     state, history = trainer.fit(seed=0)
     assert np.isfinite(history[0]["train_loss"])
+
+
+def test_local_mode_training(tmp_path):
+    """Per-window (local) key estimation trains end to end with frame-level
+    masked loss (models.py:861-876 semantics)."""
+    cfg = CFG.replace(local=True, loc_window_size=2, frames=5, epochs=1,
+                      no_ckpt=True, batch_size=2, acc_grad=1,
+                      bucket_sizes=(64,))
+    root = synthetic.make_winterreise_corpus(
+        str(tmp_path / "w"),
+        [("P1", "S1", 440, "D:min"), ("P1", "S2", 330, "A:maj"),
+         ("P2", "S1", 550, "C:maj"), ("P2", "S2", 660, "G:maj")],
+        local_segments={
+            "P1_S1": [(0.0, 5.0, "D:min"), (5.0, 10.0, "A:maj")],
+            "P1_S2": [(0.0, 10.0, "A:maj")],
+            "P2_S1": [(0.0, 10.0, "C:maj")],
+            "P2_S2": [(0.0, 5.0, "G:maj"), (5.0, 10.0, "D:maj")]},
+        seconds=10.5)
+    ds = KeyDataset(genre=False, cfg=cfg, blacklist_path="", use_cache=False)
+    ds.import_data(loaders.SchubertWinterreiseLoader(str(tmp_path / "w"),
+                                                     local=True),
+                   progress=False)
+    trainer = Trainer(cfg, ds, ds, use_mesh=True)
+    state, history = trainer.fit(seed=0)
+    assert np.isfinite(history[0]["train_loss"])
+    assert "val_mirex" in history[0]
+
+
+def test_remat_flag_trains(tmp_path):
+    ds = _tiny_dataset(tmp_path, n=8)
+    cfg = CFG.replace(remat=True, epochs=1, no_ckpt=True, batch_size=4,
+                      acc_grad=2)
+    trainer = Trainer(cfg, ds, ds, use_mesh=False)
+    state, history = trainer.fit(seed=0)
+    assert np.isfinite(history[0]["train_loss"])
