@@ -44,23 +44,33 @@ from audio_key_estimation_tpu.ops.cqt_pallas import cqt_pallas
 SR = 22050
 CLIP_SECONDS = 120
 BATCH = 16
-REPS = 5
+CHUNKS = 8   # batches processed per device round trip (lax.scan)
+REPS = 3
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_pipeline(cfg: Config, params: CQTParams, variables, use_pallas: bool):
+def build_pipeline(cfg: Config, params: CQTParams, variables, use_pallas: bool,
+                   chunks: int = CHUNKS):
     model = PitchClassNet(cfg)
     front = cqt_pallas if use_pallas else cqt
 
-    @jax.jit
-    def pipeline(y, seq_length):
+    def one_batch(y, seq_length):
         mel = front(y, params)[:, :, :, None]
         key, tonic = model.apply(variables, mel, seq_length, False)
-        # scalar reduction: fetching this forces completion of the whole step
         return jnp.sum(key) + jnp.sum(tonic)
+
+    @jax.jit
+    def pipeline(y_chunks, seq_length):
+        # y_chunks: (chunks, B, L) — scan amortizes the host<->device round
+        # trip (the relay adds ~30 ms per fetch) over `chunks` real batches
+        def body(acc, y):
+            return acc + one_batch(y, seq_length), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0), y_chunks)
+        # scalar reduction: fetching this forces completion of the whole step
+        return acc
 
     return pipeline
 
@@ -83,8 +93,8 @@ def main():
     n_frames = 1 + (SR * CLIP_SECONDS) // hop
 
     rng = np.random.default_rng(0)
-    y_host = [rng.normal(size=(BATCH, SR * CLIP_SECONDS)).astype(np.float32)
-              * 0.1 for _ in range(2)]
+    y_host = rng.normal(size=(CHUNKS, BATCH, SR * CLIP_SECONDS)
+                        ).astype(np.float32) * 0.1
     seq_host = np.full((BATCH,), n_frames, np.int32)
 
     mel0 = jnp.zeros((1, cfg.pitches, n_frames, 1), jnp.float32)
@@ -92,10 +102,10 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), mel0,
                            jnp.full((1,), n_frames, jnp.int32), False)
 
-    audio_minutes = BATCH * CLIP_SECONDS / 60.0
+    audio_minutes = CHUNKS * BATCH * CLIP_SECONDS / 60.0
     dev = jax.devices()[0]
     log(f"benchmarking on {dev.device_kind} ({dev.platform})")
-    ys = [jax.device_put(jnp.asarray(y), dev) for y in y_host]
+    ys = [jax.device_put(jnp.asarray(y_host), dev)]
     seq = jax.device_put(jnp.asarray(seq_host), dev)
 
     best_dt, best_kind = None, None
@@ -124,9 +134,9 @@ def main():
     try:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            y1 = [jnp.asarray(y_host[0][:1])]
+            y1 = [jnp.asarray(y_host[0, :1][None])]   # (1, 1, L)
             s1 = jnp.asarray(seq_host[:1])
-            pipe_cpu = build_pipeline(cfg, params, variables, False)
+            pipe_cpu = build_pipeline(cfg, params, variables, False, chunks=1)
             dt_cpu, _ = time_pipeline(pipe_cpu, y1, s1, reps=2)
         cpu_throughput = (CLIP_SECONDS / 60.0) / dt_cpu
         log(f"cpu baseline: {dt_cpu * 1e3:.0f} ms/clip -> "
