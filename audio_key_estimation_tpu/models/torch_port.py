@@ -52,17 +52,18 @@ def _torch_base(path: tuple) -> str:
 
 
 def _candidates(path: tuple, leaf: str) -> list:
+    if leaf not in _LEAF_SUFFIX:
+        # bespoke top-level params (multi-scale wk/bk/wt/bt/wg/bg,
+        # models.py:1148-1155) keep their own names in the state_dict
+        base = _torch_base(path)
+        return [f"{base}.{leaf}" if base else leaf]
     base = _torch_base(path)
     suffix = _LEAF_SUFFIX[leaf]
-    cands = [f"{base}.{suffix}"]
+    cands = [f"{base}.{suffix}" if base else suffix]
     if leaf in ("kernel", "bias"):
         # equivariant convs nest the torch Conv2d as `.conv2d`;
         # the p2pc_conv pool nests it as `.conv`
         cands += [f"{base}.conv2d.{suffix}", f"{base}.conv.{suffix}"]
-    if not base:  # top-level leaves (multi-scale wk/bk/... )
-        cands = [leaf if leaf != "kernel" else "weight"]
-        if leaf == "kernel":
-            cands.append(path[-1] if path else "weight")
     return cands
 
 

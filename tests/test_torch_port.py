@@ -174,3 +174,21 @@ def test_forward_parity_flax_vs_torch(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(genre_j), genre_t.numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_multi_scale_port_round_trip(rng):
+    """model1./model2. prefixes + top-level regression params wk/bk/wt/bt."""
+    import jax
+    from audio_key_estimation_tpu.models.multi_scale import init_multi_model
+    cfg = CFG.replace(multi_scale=True, linear_reg_multi=True, genre=False,
+                      octaves=4)
+    _, variables = init_multi_model(cfg, jax.random.PRNGKey(0), 32)
+    sd = variables_to_state_dict(variables)
+    assert "wk" in sd and "model1.model.0.pool_semi.weight" in sd
+    restored = state_dict_to_variables(sd, variables)
+    a = traverse_util.flatten_dict(variables["params"])
+    b = traverse_util.flatten_dict(restored["params"])
+    assert a.keys() == b.keys()
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=1e-6)
