@@ -153,14 +153,16 @@ def cqt(y: jax.Array, p: CQTParams, *, log1p: bool = True) -> jax.Array:
     taps = jnp.asarray(halfband_taps())
 
     n_frames = 1 + y.shape[1] // p.hop
-    t_idx = np.arange(n_frames, dtype=np.float64)
+    # frame centers computed in-graph (iota) — avoids baking n_frames x n_fft
+    # index constants into the HLO, which bloats compile time
+    t_idx = jnp.arange(n_frames, dtype=jnp.float32)
 
     octs = []
     cur = y.astype(jnp.float32)
     for o in range(p.octaves):
         if o > 0:
             cur = downsample2(cur, taps)
-        centers = jnp.asarray(np.round(t_idx * p.hop / (2 ** o)).astype(np.int32))
+        centers = jnp.round(t_idx * (p.hop / (2 ** o))).astype(jnp.int32)
         # scale=True uses the full-rate kernel length: L_fullrate = L * 2**o,
         # so each octave down gains sqrt(2) (librosa's downsample compensation)
         octs.append(_octave_response(cur, centers, k_cos, k_sin, scales)

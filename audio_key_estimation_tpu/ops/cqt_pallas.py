@@ -91,7 +91,7 @@ def cqt_pallas(y: jax.Array, p: CQTParams, *, interpret: bool = False) -> jax.Ar
     taps = jnp.asarray(halfband_taps())
 
     n_frames = 1 + y.shape[1] // p.hop
-    t_idx = np.arange(n_frames, dtype=np.float64)
+    t_idx = jnp.arange(n_frames, dtype=jnp.float32)
     arange_fft = jnp.arange(n_fft)[None, :]
 
     octs = []
@@ -99,7 +99,7 @@ def cqt_pallas(y: jax.Array, p: CQTParams, *, interpret: bool = False) -> jax.Ar
     for o in range(p.octaves):
         if o > 0:
             cur = downsample2(cur, taps)
-        centers = jnp.asarray(np.round(t_idx * p.hop / (2 ** o)).astype(np.int32))
+        centers = jnp.round(t_idx * (p.hop / (2 ** o))).astype(jnp.int32)
         ypad = jnp.pad(cur, ((0, 0), (half, half + 1)), mode="reflect")
         frames = ypad[:, centers[:, None] + arange_fft]      # (B, T, n_fft)
         scales = jnp.asarray(bank["scales"] * (2.0 ** (o / 2)))[None, :]
