@@ -49,9 +49,9 @@ class EquivariantConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         shape = (self.pitch_classes, self.kernel_depth, self.in_ch, self.out_ch)
-        w = self.param("kernel", _init_conv, shape, self.dtype)
+        w = self.param("kernel", _init_conv, shape, jnp.float32)
         b = self.param("bias", _init_bias_for(self.pitch_classes * self.kernel_depth * self.in_ch),
-                       (self.out_ch,), self.dtype)
+                       (self.out_ch,), jnp.float32)
         return eqv.equivariant_pc_conv(x, w, b,
                                        same_depth_padding=self.same_depth_padding)
 
@@ -70,9 +70,9 @@ class CircularConv(nn.Module):
     def __call__(self, x):
         kh, kw = self.kernel
         shape = (kh, kw, self.in_ch, self.out_ch)
-        w = self.param("kernel", _init_conv, shape, self.dtype)
+        w = self.param("kernel", _init_conv, shape, jnp.float32)
         b = (self.param("bias", _init_bias_for(kh * kw * self.in_ch),
-                        (self.out_ch,), self.dtype) if self.use_bias else None)
+                        (self.out_ch,), jnp.float32) if self.use_bias else None)
         return eqv.circular_conv2d(x, w, b, strides=self.strides,
                                    circular_pad=self.circular_pad)
 
@@ -90,14 +90,14 @@ class ZeroPadConv(nn.Module):
     def __call__(self, x):
         kh, kw = self.kernel
         shape = (kh, kw, self.in_ch, self.out_ch)
-        w = self.param("kernel", _init_conv, shape, self.dtype)
+        w = self.param("kernel", _init_conv, shape, jnp.float32)
         y = jax.lax.conv_general_dilated(
             x, w.astype(x.dtype), window_strides=(1, 1),
             padding=[self.padding[0:1] * 2, self.padding[1:2] * 2],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             b = self.param("bias", _init_bias_for(kh * kw * self.in_ch),
-                           (self.out_ch,), self.dtype)
+                           (self.out_ch,), jnp.float32)
             y = y + b.astype(y.dtype)
         return y
 
@@ -110,8 +110,8 @@ class ThirdUpsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        w = self.param("kernel", _init_conv, (3, self.in_ch, self.out_ch), self.dtype)
-        b = self.param("bias", _init_bias_for(3 * self.in_ch), (self.out_ch,), self.dtype)
+        w = self.param("kernel", _init_conv, (3, self.in_ch, self.out_ch), jnp.float32)
+        b = self.param("bias", _init_bias_for(3 * self.in_ch), (self.out_ch,), jnp.float32)
         return eqv.third_upsample(x, w, b)
 
 
@@ -291,9 +291,9 @@ class OctaveConvPool(nn.Module):
     def __call__(self, x, train: bool):
         ksize = -(-self.pitches_in // self.pitch_classes)
         shape = (ksize, self.kernel_depth, self.in_ch, self.in_ch)
-        w = self.param("kernel", _init_conv, shape, self.dtype)
+        w = self.param("kernel", _init_conv, shape, jnp.float32)
         b = self.param("bias", _init_bias_for(ksize * self.kernel_depth * self.in_ch),
-                       (self.in_ch,), self.dtype)
+                       (self.in_ch,), jnp.float32)
         y = pooling.octave_dilated_conv(x, w, b, pitch_classes=self.pitch_classes,
                                         pitches_in=self.pitches_in)
         y = BatchNorm(self.in_ch, dtype=self.dtype, name="bn")(y, train)

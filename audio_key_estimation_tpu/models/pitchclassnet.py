@@ -194,7 +194,9 @@ class PitchClassNet(nn.Module):
     @nn.compact
     def __call__(self, mel, seq_length=None, train: bool = False):
         c = self.cfg
-        p, pc = mel, None
+        # params are stored float32; compute runs in self.dtype (bfloat16
+        # halves HBM traffic and doubles MXU rate when selected)
+        p, pc = mel.astype(self.dtype), None
         layer_cls = PitchClassNetLayer
         if c.remat:
             # trade FLOPs for memory like the reference's dense-block
@@ -207,13 +209,13 @@ class PitchClassNet(nn.Module):
         final_ch = head_in_channels(c.num_layers, c.n_filters, c.conv_layers,
                                     c.denseblock)
         tonic = Head(c, final_ch, "tonic", dtype=self.dtype,
-                     name="tonic_classifier")(pc, train)
+                     name="tonic_classifier")(pc, train).astype(jnp.float32)
         key = Head(c, final_ch, "key", dtype=self.dtype,
-                   name="key_classifier")(pc, train)
+                   name="key_classifier")(pc, train).astype(jnp.float32)
         genre = None
         if c.genre:
             genre = Head(c, final_ch, "genre", dtype=self.dtype,
-                         name="genre_classifier")(pc, train)
+                         name="genre_classifier")(pc, train).astype(jnp.float32)
 
         if c.local:
             # time-major per-window outputs (intended semantics of

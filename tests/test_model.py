@@ -164,3 +164,20 @@ def test_batchnorm_stats_update_in_train_mode(rng):
     before = jax.tree_util.tree_leaves(variables["batch_stats"])
     after = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_bfloat16_compute_with_f32_params(rng):
+    """cfg.dtype='bfloat16': params stay float32 (trainable/checkpointable),
+    compute runs in bf16, outputs return as float32 and track the f32 path."""
+    cfg = BASE.replace(dtype="bfloat16")
+    mel = jnp.asarray(rng.normal(size=(2, cfg.pitches, 64, 1)), jnp.float32)
+    model16 = PitchClassNet(cfg, dtype=jnp.bfloat16)
+    variables = model16.init(jax.random.PRNGKey(0), mel, None, False)
+    assert all(x.dtype == jnp.float32
+               for x in jax.tree_util.tree_leaves(variables["params"]))
+    key16, tonic16 = model16.apply(variables, mel, None, False)
+    assert key16.dtype == jnp.float32
+    model32 = PitchClassNet(BASE)
+    key32, tonic32 = model32.apply(variables, mel, None, False)
+    np.testing.assert_allclose(np.asarray(key16), np.asarray(key32),
+                               atol=0.05)
