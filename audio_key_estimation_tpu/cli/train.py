@@ -25,17 +25,24 @@ def main(argv=None):
         description="TPU-native PitchClassNet training",
         formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     add_config_args(parser)
+    parser.add_argument("--resume_version", type=int, default=-1,
+                        help="resume mid-training from this version dir")
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
     if cfg.debug:
         cfg = cfg.replace(batch_size=2, acc_grad=1)  # train_model.py:88-91
 
     train_data, val_data = build_train_val(cfg)
-    run_dir = ckpt_lib.next_version_dir(os.path.join(cfg.log_dir,
-                                                     "lightning_logs"))
+    if args.resume_version >= 0:
+        run_dir = ckpt_lib.version_dir(
+            os.path.join(cfg.log_dir, "lightning_logs"), args.resume_version)
+    else:
+        run_dir = ckpt_lib.next_version_dir(os.path.join(cfg.log_dir,
+                                                         "lightning_logs"))
     logger = MetricsLogger(run_dir)
     trainer = Trainer(cfg, train_data, val_data, log_dir=run_dir)
-    state, history = trainer.fit(seed=cfg.seed, metrics_writer=logger)
+    state, history = trainer.fit(seed=cfg.seed, metrics_writer=logger,
+                                 resume=args.resume_version >= 0)
 
     # final validation with the best checkpoint (train_model.py:123-124)
     if not cfg.no_ckpt and os.path.exists(os.path.join(run_dir, "best_model")):

@@ -69,6 +69,36 @@ def load(run_dir: str, name: str = "best_model") -> Tuple[dict, Optional[Config]
     return tree, cfg
 
 
+def save_train_state(run_dir: str, state, cfg: Config, epoch: int,
+                     extra: Optional[dict] = None,
+                     name: str = "last_state.msgpack") -> str:
+    """Full-fidelity training snapshot (params + batch_stats + opt_state +
+    step) for mid-training resume — a capability the reference lacks
+    entirely (its two checkpoint paths are save-only, SURVEY.md §5)."""
+    from flax import serialization
+    os.makedirs(run_dir, exist_ok=True)
+    payload = {"state": jax.device_get(state), "epoch": epoch,
+               "extra": extra or {}}
+    path = os.path.join(run_dir, name)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    return path
+
+
+def load_train_state(run_dir: str, state_template,
+                     name: str = "last_state.msgpack"):
+    """Restore (state, epoch, extra) into the given TrainState template."""
+    from flax import serialization
+    path = os.path.join(run_dir, name)
+    with open(path, "rb") as f:
+        data = f.read()
+    template = {"state": state_template, "epoch": 0, "extra": {}}
+    payload = serialization.from_bytes(template, data)
+    return payload["state"], payload["epoch"], payload["extra"]
+
+
 def load_torch_state_dict(path: str) -> dict:
     """Read a reference best_model.pt (torch state_dict) into numpy arrays.
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Any, Dict, Optional
 
@@ -201,7 +202,7 @@ class Trainer:
     log_dir: Optional[str] = None
     use_mesh: bool = True
 
-    def fit(self, seed: int = 0, metrics_writer=None):
+    def fit(self, seed: int = 0, metrics_writer=None, resume: bool = False):
         cfg = self.cfg
         micro_bs = cfg.batch_size
         step_items = micro_bs * cfg.acc_grad
@@ -221,12 +222,24 @@ class Trainer:
         best_val_loss = float("inf")
         patience_left = cfg.early_stop_patience
         history = []
-        for epoch in range(cfg.epochs):
+        start_epoch = 0
+        if resume and self.log_dir and os.path.exists(
+                os.path.join(self.log_dir, "last_state.msgpack")):
+            state, last_epoch, extra = ckpt_lib.load_train_state(
+                self.log_dir, jax.device_get(state))
+            if mesh is not None:
+                state = replicate(state, mesh)
+            start_epoch = last_epoch + 1
+            best_mirex = extra.get("best_mirex", -1.0)
+            best_val_loss = extra.get("best_val_loss", float("inf"))
+            print(f"resumed from epoch {last_epoch}", flush=True)
+        for epoch in range(start_epoch, cfg.epochs):
             t0 = time.time()
             train_losses = []
-            for batch in self.train_data.batches(step_items, shuffle=True,
-                                                 seed=seed + epoch,
-                                                 drop_last=True):
+            from ..data.pipeline import prefetch
+            for batch in prefetch(self.train_data.batches(
+                    step_items, shuffle=True, seed=seed + epoch,
+                    drop_last=True)):
                 batch.pop("valid", None)
                 batch = {k: np.reshape(v, (cfg.acc_grad, micro_bs)
                                        + v.shape[1:])
@@ -252,6 +265,12 @@ class Trainer:
                 best_mirex = val["mirex"]
                 if self.log_dir:
                     ckpt_lib.save(self.log_dir, state, cfg, name="best_model")
+            if self.log_dir and not cfg.no_ckpt:
+                ckpt_lib.save_train_state(
+                    self.log_dir, state, cfg, epoch,
+                    extra={"best_mirex": float(best_mirex),
+                           "best_val_loss": float(min(best_val_loss,
+                                                      val["loss"]))})
             if val["loss"] < best_val_loss:
                 best_val_loss = val["loss"]
                 patience_left = cfg.early_stop_patience

@@ -187,3 +187,18 @@ def test_remat_flag_trains(tmp_path):
     trainer = Trainer(cfg, ds, ds, use_mesh=False)
     state, history = trainer.fit(seed=0)
     assert np.isfinite(history[0]["train_loss"])
+
+
+def test_resume_training(tmp_path):
+    """Mid-training resume: interrupt after 2 epochs, resume to 4; the
+    resumed run continues from epoch 2 (full state incl. optimizer)."""
+    ds = _tiny_dataset(tmp_path, n=16)
+    log_dir = str(tmp_path / "run")
+    cfg = CFG.replace(epochs=2, early_stop_patience=100)
+    t1 = Trainer(cfg, ds, ds, log_dir=log_dir)
+    t1.fit(seed=0)
+    assert os.path.exists(os.path.join(log_dir, "last_state.msgpack"))
+    cfg4 = cfg.replace(epochs=4)
+    t2 = Trainer(cfg4, ds, ds, log_dir=log_dir)
+    state, history = t2.fit(seed=0, resume=True)
+    assert [h["epoch"] for h in history] == [2, 3]
