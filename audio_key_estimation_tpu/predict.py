@@ -1,0 +1,154 @@
+"""Serving API: waveforms/files -> key, tonic, genre predictions.
+
+The reference has no inference entry point short of running eval.py over a
+corpus; this provides the production path: a `KeyEstimator` that loads a
+checkpoint (orbax or ported torch state_dict), batches arbitrary audio
+through the on-device CQT + PitchClassNet, and returns human-readable
+results.
+
+Key naming: the 12-dim sigmoid output is matched to the nearest
+KEY_SIGNATURE_MAP row (circle of fifths) exactly like the MIREX scorer
+(models.py:1083-1085); the predicted tonic then selects the major or
+relative-minor reading of that signature.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .data.audio_io import decode_audio
+from .data.loaders import A_GENRES
+from .models import PitchClassNet
+from .ops.cqt import CQTParams, cqt, reference_hop
+from .utils.key_signatures import KEY_SIGNATURE_MAP
+
+NOTE_NAMES = ['C', 'C#', 'D', 'D#', 'E', 'F', 'F#', 'G', 'G#', 'A', 'A#', 'B']
+# major tonic of circle-of-fifths row i (0 = Cb); theoretical rows 15..20
+# map to their enharmonic base signatures (utils/key_signatures.py)
+_ROW_MAJOR_TONIC = [(11 + 7 * i) % 12 for i in range(15)] + [2, 4, 9, 3, 8, 10]
+
+
+def key_name(key_sigmoid: np.ndarray, tonic_logits: np.ndarray) -> dict:
+    """Interpret model outputs as a named key."""
+    ksm = KEY_SIGNATURE_MAP
+    v = key_sigmoid / max(np.linalg.norm(key_sigmoid), 1e-8)
+    sims = (ksm @ v) / np.linalg.norm(ksm, axis=1)
+    row = int(np.argmax(sims))
+    tonic = int(np.argmax(tonic_logits))
+    major_tonic = _ROW_MAJOR_TONIC[row]
+    if tonic == major_tonic:
+        name = f"{NOTE_NAMES[tonic]} major"
+    elif tonic == (major_tonic + 9) % 12:  # relative minor
+        name = f"{NOTE_NAMES[tonic]} minor"
+    else:
+        # tonic disagrees with the signature; report tonic with the
+        # signature's accidentals as context
+        name = f"{NOTE_NAMES[tonic]} (signature {NOTE_NAMES[major_tonic]} major)"
+    return {"key": name, "signature_row": row, "tonic": NOTE_NAMES[tonic],
+            "confidence": float(sims[row])}
+
+
+@dataclass
+class Prediction:
+    key: str
+    tonic: str
+    confidence: float
+    genre: Optional[str] = None
+    key_probs: Optional[np.ndarray] = None
+    tonic_logits: Optional[np.ndarray] = None
+
+
+class KeyEstimator:
+    """Batched inference over arbitrary audio.
+
+    >>> est = KeyEstimator.from_checkpoint("Model_logs/lightning_logs/version_0")
+    >>> est.predict_files(["song.wav"])  # -> [Prediction(key='A minor', ...)]
+    """
+
+    def __init__(self, cfg: Config, variables, *, bucket_seconds=(60, 180, 420)):
+        self.cfg = cfg.replace(local=False)
+        self.model = PitchClassNet(self.cfg, dtype=jnp.dtype(cfg.dtype))
+        self.variables = variables
+        self.bucket_seconds = bucket_seconds
+        self._apply = jax.jit(
+            lambda mel, seq: self.model.apply(self.variables, mel, seq, False))
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, run_dir: str, name: str = "best_model", **kw):
+        from .train import checkpoints as ckpt_lib
+        tree, cfg = ckpt_lib.load(run_dir, name)
+        cfg = cfg or Config()
+        return cls(cfg, {"params": tree["params"],
+                         "batch_stats": tree["batch_stats"]}, **kw)
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, cfg: Config, **kw):
+        from .models.torch_port import state_dict_to_variables
+        from .train.checkpoints import load_torch_state_dict
+        model = PitchClassNet(cfg)
+        mel = jnp.zeros((1, cfg.pitches, 64, 1), jnp.float32)
+        template = model.init(jax.random.PRNGKey(0), mel, None, False)
+        variables = state_dict_to_variables(load_torch_state_dict(path),
+                                            template)
+        return cls(cfg, variables, **kw)
+
+    # ------------------------------------------------------------------
+    def _bucket_len(self, seconds: float) -> float:
+        for b in self.bucket_seconds:
+            if seconds <= b:
+                return b
+        return float(np.ceil(seconds / 60.0) * 60)
+
+    def predict_waveforms(self, waveforms: Sequence[np.ndarray], sr: int,
+                          return_raw: bool = False) -> List[Prediction]:
+        cfg = self.cfg
+        hop = reference_hop(sr, cfg.frames, cfg.window_size,
+                            max(len(w) for w in waveforms))
+        secs = max(len(w) for w in waveforms) / sr
+        pad_len = int(self._bucket_len(secs) * sr)
+        batch = np.zeros((len(waveforms), pad_len), np.float32)
+        seq = np.zeros(len(waveforms), np.int32)
+        for i, w in enumerate(batch_src := list(waveforms)):
+            batch[i, :len(w)] = w
+            seq[i] = 1 + len(w) // hop
+        params = CQTParams(sr=sr, hop=hop,
+                           bins_per_octave=cfg.bins_per_octave,
+                           octaves=cfg.octaves)
+        mel = cqt(jnp.asarray(batch), params)[:, :, :, None]
+        out = self._apply(mel, jnp.asarray(seq))
+        key = np.asarray(out[0])
+        tonic = np.asarray(out[1])
+        genre = np.asarray(out[2]) if cfg.genre else None
+        preds = []
+        for i in range(len(waveforms)):
+            info = key_name(key[i], tonic[i])
+            preds.append(Prediction(
+                key=info["key"], tonic=info["tonic"],
+                confidence=info["confidence"],
+                genre=(A_GENRES[int(np.argmax(genre[i]))]
+                       if genre is not None else None),
+                key_probs=key[i] if return_raw else None,
+                tonic_logits=tonic[i] if return_raw else None))
+        return preds
+
+    def predict_files(self, paths: Sequence[Union[str, os.PathLike]],
+                      **kw) -> List[Prediction]:
+        decoded = [decode_audio(str(p)) for p in paths]
+        by_sr = {}
+        order = {}
+        for i, (w, sr) in enumerate(decoded):
+            by_sr.setdefault(sr, []).append((i, w))
+        results: List[Optional[Prediction]] = [None] * len(decoded)
+        for sr, group in by_sr.items():
+            preds = self.predict_waveforms([w for _, w in group], sr, **kw)
+            for (i, _), p in zip(group, preds):
+                results[i] = p
+        return results

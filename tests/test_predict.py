@@ -1,0 +1,71 @@
+"""Serving API: key naming and batched file prediction."""
+
+import numpy as np
+
+from audio_key_estimation_tpu.config import Config
+from audio_key_estimation_tpu.predict import (KeyEstimator, Prediction,
+                                              key_name)
+from audio_key_estimation_tpu.utils.key_signatures import KEY_SIGNATURE_MAP
+from audio_key_estimation_tpu.data.synthetic import sine_wav
+from audio_key_estimation_tpu.train import checkpoints as ckpt_lib
+from audio_key_estimation_tpu.train.optim import make_optimizer
+from audio_key_estimation_tpu.train.trainer import create_train_state
+
+import jax
+
+
+def test_key_name_major_and_relative_minor():
+    c_major = KEY_SIGNATURE_MAP[7]
+    tonic_c = np.eye(12)[0]
+    info = key_name(c_major, tonic_c)
+    assert info["key"] == "C major" and info["signature_row"] == 7
+
+    tonic_a = np.eye(12)[9]
+    info = key_name(c_major, tonic_a)
+    assert info["key"] == "A minor"
+
+    tonic_d = np.eye(12)[2]  # disagreeing tonic
+    info = key_name(c_major, tonic_d)
+    assert "signature" in info["key"]
+
+
+def test_key_name_all_rows_consistent():
+    # enharmonic rows share identical vectors (Cb==B, Gb==F#, Db==C#), so the
+    # matched row may be the first duplicate — the NAME must still be right
+    # because the tonic disambiguates
+    from audio_key_estimation_tpu.predict import NOTE_NAMES
+    for row in range(15):
+        sig = KEY_SIGNATURE_MAP[row]
+        maj_tonic = (11 + 7 * row) % 12
+        maj = key_name(sig, np.eye(12)[maj_tonic])
+        assert maj["key"] == f"{NOTE_NAMES[maj_tonic]} major"
+        rel_tonic = (maj_tonic + 9) % 12
+        rel = key_name(sig, np.eye(12)[rel_tonic])
+        assert rel["key"] == f"{NOTE_NAMES[rel_tonic]} minor"
+
+
+def test_predict_files_end_to_end(tmp_path):
+    cfg = Config(octaves=4, num_layers=2, conv_layers=1, n_filters=2,
+                 kernel_size=3, head_layers=1, genre=True)
+    optimizer = make_optimizer(cfg, 1)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0), optimizer)
+    run_dir = str(tmp_path / "version_0")
+    import os
+    os.makedirs(run_dir)
+    ckpt_lib.save(run_dir, state, cfg)
+
+    paths = []
+    for i, f in enumerate((261.6, 440.0)):
+        p = str(tmp_path / f"s{i}.wav")
+        sine_wav(p, f, seconds=3.0)
+        paths.append(p)
+
+    est = KeyEstimator.from_checkpoint(run_dir, bucket_seconds=(4,))
+    preds = est.predict_files(paths, return_raw=True)
+    assert len(preds) == 2
+    for p in preds:
+        assert isinstance(p, Prediction)
+        assert p.key and p.tonic in [n for n in
+                                     ("C C# D D# E F F# G G# A A# B".split())]
+        assert p.genre is not None
+        assert p.key_probs.shape == (12,)
