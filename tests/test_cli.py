@@ -125,3 +125,27 @@ def test_dryrun_multichip_8_devices():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_hostile_parent_env(tmp_path):
+    """dryrun_multichip must succeed even when the calling interpreter has
+    already initialized jax on a platform WITHOUT n virtual devices (the
+    round-1 driver failure mode: jax pre-imported on the TPU backend, env
+    bootstrap skipped, device code run against the wrong runtime)."""
+    import subprocess
+    env = os.environ.copy()
+    # parent gets exactly ONE cpu device; any in-process fallback would see
+    # 1 < 8 devices and fail — only the fresh-subprocess path can pass.
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    env["PYTHONPATH"] = "/root/repo"
+    script = (
+        "import jax; assert len(jax.devices()) == 1, jax.devices();\n"
+        "import __graft_entry__ as g; g.dryrun_multichip(8)\n"
+        "assert len(jax.devices()) == 1  # parent jax state untouched\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script], env=env, cwd="/root/repo",
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "dryrun_multichip(8): ok" in proc.stdout
