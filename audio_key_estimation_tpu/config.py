@@ -72,7 +72,7 @@ class Config:
     mesh_axes: tuple = ("data",)
     remat: bool = False             # jax.checkpoint the trunk (dense blocks use it anyway)
     bucket_sizes: tuple = (512, 1024, 2048, 4096)  # time-frame padding buckets
-    use_pallas_cqt: bool = True     # fused Pallas CQT kernel vs pure-XLA path
+    use_pallas_cqt: bool = False    # fused Pallas CQT kernel vs pure-XLA path
     data_root: str = "../Data"
     log_dir: str = "Model_logs"
 

@@ -11,11 +11,13 @@ otherwise a clear error points at pre-converting the corpus.
 
 from __future__ import annotations
 
+import concurrent.futures as futures
 import os
 import shutil
 import struct
 import subprocess
 import tempfile
+import time
 
 import numpy as np
 
@@ -120,6 +122,77 @@ def decode_audio(path: str):
     if out is None:
         out = _decode_wav_numpy(path)
     return out
+
+
+def decode_many(paths, workers: int = 8):
+    """Decode files concurrently, yielding (samples, sr) in input order.
+
+    WAV files run through the native C++ DecodePool (akx_native.cpp worker
+    threads — parallel decode with no GIL); other formats (mp3 transcode)
+    and the no-toolchain case fall back to a Python thread pool. This is the
+    host side of the async input pipeline replacing the reference's
+    ThreadPoolExecutor CQT loop (KeyDataset.py:127-136).
+    """
+    paths = list(paths)
+    lib = load_library()
+    results: dict = {}
+    native_paths: dict = {}
+    pool = None
+    py_jobs: dict = {}
+    with futures.ThreadPoolExecutor(max_workers=workers) as tpool:
+        try:
+            if lib is not None:
+                pool = lib.akx_pool_create(workers)
+            for i, p in enumerate(paths):
+                if pool and os.path.splitext(p)[1].lower() == ".wav":
+                    lib.akx_pool_submit(pool, i, p.encode())
+                    native_paths[i] = p
+                else:
+                    py_jobs[i] = tpool.submit(decode_audio, p)
+            pending_native = set(native_paths)
+            next_i = 0
+            while next_i < len(paths):
+                progressed = False
+                while pending_native:
+                    r = lib.akx_pool_poll(pool)
+                    if not r:
+                        break
+                    progressed = True
+                    rid = lib.akx_result_id(r)
+                    try:
+                        if lib.akx_result_ok(r):
+                            m = lib.akx_result_num_samples(r)
+                            sr = lib.akx_result_sample_rate(r)
+                            buf = np.ctypeslib.as_array(
+                                lib.akx_result_samples(r), shape=(m,)).copy()
+                            results[rid] = (buf, sr)
+                        else:
+                            msg = (lib.akx_result_error(r) or b"").decode()
+                            results[rid] = AudioDecodeError(
+                                f"{native_paths[rid]}: {msg or 'decode failed'}")
+                    finally:
+                        lib.akx_result_free(r)
+                    pending_native.discard(rid)
+                for i, fut in list(py_jobs.items()):
+                    if fut.done():
+                        progressed = True
+                        try:
+                            results[i] = fut.result()
+                        except Exception as e:  # re-raised in input order
+                            results[i] = e
+                        del py_jobs[i]
+                while next_i < len(paths) and next_i in results:
+                    progressed = True
+                    out = results.pop(next_i)
+                    next_i += 1
+                    if isinstance(out, Exception):
+                        raise out
+                    yield out
+                if not progressed:
+                    time.sleep(0.002)
+        finally:
+            if pool:
+                lib.akx_pool_destroy(pool)
 
 
 def write_wav(path: str, samples: np.ndarray, sr: int) -> None:

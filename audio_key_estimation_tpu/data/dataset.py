@@ -26,7 +26,8 @@ import jax
 import numpy as np
 
 from ..config import Config
-from ..ops.cqt import CQTParams, cqt, reference_hop
+from ..ops.cqt import CQTParams, reference_hop
+from ..ops.frontend import compute_cqt
 from ..utils import labels as L
 from . import audio_io
 from .loaders import DatasetLoader
@@ -37,11 +38,18 @@ def cache_path(file_path: str, cfg: Config, bins_per_octave: int) -> str:
     return f"{stem}.akx_{cfg.octaves}oct_{cfg.frames}f_{bins_per_octave}bpo.npz"
 
 
+# Known-bad (too short) training files, matched by basename against every
+# loader's filenames (reference short_songs.txt:1-11, consumed at
+# KeyDataset.py:67-75). Shipped with the package so the default blacklist is
+# never silently empty.
+PACKAGED_BLACKLIST = os.path.join(os.path.dirname(__file__), "short_songs.txt")
+
+
 class KeyDataset:
     """Map-style in-RAM dataset of (log-CQT, labels) per song."""
 
     def __init__(self, genre: bool, cfg: Config, *,
-                 blacklist_path: str = "short_songs.txt",
+                 blacklist_path: Optional[str] = PACKAGED_BLACKLIST,
                  use_cache: bool = True, device=None):
         self.cfg = cfg
         self.genre = genre
@@ -52,11 +60,18 @@ class KeyDataset:
         self.seq_length_max = 0
 
     @staticmethod
-    def _load_blacklist(path: str) -> List[str]:
-        if path and os.path.exists(path):
-            with open(path) as f:
-                return [ln.strip() for ln in f if ln.strip()]
-        return []
+    def _load_blacklist(path: Optional[str]) -> List[str]:
+        """Empty/None disables the blacklist; a configured-but-missing file
+        is an error (the reference silently dropped the whole blacklist when
+        short_songs.txt was absent from the cwd)."""
+        if not path:
+            return []
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"blacklist file configured but missing: {path!r} "
+                "(pass blacklist_path='' to disable the blacklist)")
+        with open(path) as f:
+            return [ln.strip() for ln in f if ln.strip()]
 
     def __len__(self):
         return len(self.items)
@@ -88,44 +103,51 @@ class KeyDataset:
 
     # ------------------------------------------------------------------
     def _preprocess(self, work, progress=True, decode_batch: int = 16):
-        cfg = self.cfg
-        pending = []  # (file, loader, samples, sr)
-        done = 0
+        # stage 1: parallel cache probe
         with futures.ThreadPoolExecutor(max_workers=8) as pool:
-            decoded = pool.map(self._decode_or_cache, work)
-            for (fn, loader), result in zip(work, decoded):
-                kind, payload = result
-                if kind == "cached":
-                    self._finish_item(fn, loader, *payload)
-                elif kind == "samples":
-                    pending.append((fn, loader) + payload)
-                    if len(pending) >= decode_batch:
-                        self._flush_cqt(pending)
-                        pending = []
+            cached = list(pool.map(self._try_cache, work))
+        done = 0
+        misses = []
+        for (fn, loader), hit in zip(work, cached):
+            if hit is not None:
+                self._finish_item(fn, loader, *hit)
                 done += 1
                 if progress and done % 50 == 0:
                     print(f"loaded {done} files", flush=True)
+        misses = [wl for wl, hit in zip(work, cached) if hit is None]
+        # stage 2: decode misses (C++ DecodePool when built, see
+        # audio_io.decode_many) overlapping stage 3's batched on-device CQT
+        pending = []  # (file, loader, samples, sr)
+        for (fn, loader), (samples, sr) in zip(
+                misses, audio_io.decode_many(fn for fn, _ in misses)):
+            pending.append((fn, loader, samples, sr))
+            if len(pending) >= decode_batch:
+                self._flush_cqt(pending)
+                pending = []
+            done += 1
+            if progress and done % 50 == 0:
+                print(f"loaded {done} files", flush=True)
         if pending:
             self._flush_cqt(pending)
         # import order == shuffled work order regardless of cache/batch path
         order = {fn: i for i, (fn, _) in enumerate(work)}
         self.items.sort(key=lambda it: order[it["file"]])
 
-    def _decode_or_cache(self, item):
+    def _try_cache(self, item):
         fn, loader = item
         cfg = self.cfg
-        if self.use_cache:
-            try:
-                mel = np.load(cache_path(fn, cfg, cfg.bins_per_octave))["mel"]
-                mel2 = None
-                if cfg.multi_scale:
-                    mel2 = np.load(cache_path(fn, cfg, 12))["mel"]
-                if mel.shape[0] == cfg.pitches:
-                    return "cached", (mel, mel2)
-            except Exception:
-                pass
-        samples, sr = audio_io.decode_audio(fn)
-        return "samples", (samples, sr)
+        if not self.use_cache:
+            return None
+        try:
+            mel = np.load(cache_path(fn, cfg, cfg.bins_per_octave))["mel"]
+            mel2 = None
+            if cfg.multi_scale:
+                mel2 = np.load(cache_path(fn, cfg, 12))["mel"]
+            if mel.shape[0] == cfg.pitches:
+                return mel, mel2
+        except Exception:
+            pass
+        return None
 
     def _flush_cqt(self, pending):
         """Batched CQT over a group of decoded songs (bucketed by length)."""
@@ -154,7 +176,8 @@ class KeyDataset:
                 params = CQTParams(sr=sr, hop=hop, bins_per_octave=bpo,
                                    octaves=cfg.octaves)
                 mels_by_bpo[bpo] = np.asarray(
-                    cqt(jax.numpy.asarray(batch), params))
+                    compute_cqt(jax.numpy.asarray(batch), params,
+                                use_pallas=cfg.use_pallas_cqt))
             for i, (fn, loader, s) in enumerate(group):
                 t = 1 + len(s) // hop
                 mel = mels_by_bpo[bpos[0]][i][:, :t]

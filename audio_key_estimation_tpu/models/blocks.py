@@ -174,6 +174,7 @@ class DenseLayer(nn.Module):
     bn_size: int
     kernel_size: int
     equivariant: bool
+    drop_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -195,6 +196,9 @@ class DenseLayer(nn.Module):
         else:
             y = ZeroPadConv(mid, self.growth, (k, k), padding=(k // 2, k // 2),
                             use_bias=False, dtype=self.dtype, name="conv2")(y)
+        if self.drop_rate > 0:
+            # F.dropout on the new features (models.py:516-517), training-only
+            y = nn.Dropout(rate=self.drop_rate)(y, deterministic=not train)
         return y
 
 
@@ -207,6 +211,7 @@ class DenseBlock(nn.Module):
     kernel_size: int
     equivariant: bool
     multi_path: bool = False
+    drop_rate: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -217,6 +222,7 @@ class DenseBlock(nn.Module):
             inp = jnp.concatenate(features, axis=-1)
             new = DenseLayer(self.in_ch + i * self.growth, self.growth,
                              self.bn_size, k, self.equivariant,
+                             drop_rate=self.drop_rate,
                              dtype=self.dtype, name=f"denselayer{i + 1}")(inp, train)
             features.append(new)
         return jnp.concatenate(features, axis=-1)
@@ -242,6 +248,7 @@ class ConvStack(nn.Module):
     resblock: bool = False
     denseblock: bool = False
     multi_path: bool = False
+    drop_rate: float = 0.0
     dtype: Any = jnp.float32
 
     def _conv(self, i, cin, cout):
@@ -266,7 +273,8 @@ class ConvStack(nn.Module):
             bn_size = self.in_ch // 2 if self.in_ch > 1 else 1
             return DenseBlock(self.conv_layers, self.in_ch, bn_size,
                               self.out_ch, self.kernel_size, self.equivariant,
-                              multi_path=self.multi_path, dtype=self.dtype,
+                              multi_path=self.multi_path,
+                              drop_rate=self.drop_rate, dtype=self.dtype,
                               name="seq_0")(x, train)
         idx = 0
         for i in range(self.conv_layers):

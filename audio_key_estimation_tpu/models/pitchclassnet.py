@@ -79,7 +79,8 @@ class PitchClassNetLayer(nn.Module):
             pc = self._octave_pool(p_semi, train)
             pc = blocks.ConvStack(1, c.n_filters, c.kernel_size, c.conv_layers,
                                   equivariant=True, resblock=c.resblock,
-                                  denseblock=c.denseblock, dtype=self.dtype,
+                                  denseblock=c.denseblock, drop_rate=c.drop,
+                                  dtype=self.dtype,
                                   name="pc2pc")(pc, train)
             return p, pc
 
@@ -106,7 +107,8 @@ class PitchClassNetLayer(nn.Module):
         p2p_out = ch.growth if c.denseblock else ch.out_p
         p = blocks.ConvStack(p2p_in, p2p_out, c.kernel_size, c.conv_layers,
                              equivariant=False, resblock=c.resblock,
-                             denseblock=c.denseblock, dtype=self.dtype,
+                             denseblock=c.denseblock, drop_rate=c.drop,
+                             dtype=self.dtype,
                              name="p2p")(p, train)
         p_ch = p.shape[-1]
 
@@ -125,7 +127,8 @@ class PitchClassNetLayer(nn.Module):
         pc2pc_out = ch.growth if c.denseblock else ch.out_pc
         pc = blocks.ConvStack(pc2pc_in, pc2pc_out, c.kernel_size, c.conv_layers,
                               equivariant=True, resblock=c.resblock,
-                              denseblock=c.denseblock, dtype=self.dtype,
+                              denseblock=c.denseblock, drop_rate=c.drop,
+                              dtype=self.dtype,
                               name="pc2pc")(pc, train)
 
         if not c.local:

@@ -26,7 +26,8 @@ from .config import Config
 from .data.audio_io import decode_audio
 from .data.loaders import A_GENRES
 from .models import PitchClassNet
-from .ops.cqt import CQTParams, cqt, reference_hop
+from .ops.cqt import CQTParams, reference_hop
+from .ops.frontend import compute_cqt
 from .utils.key_signatures import KEY_SIGNATURE_MAP
 
 NOTE_NAMES = ['C', 'C#', 'D', 'D#', 'E', 'F', 'F#', 'G', 'G#', 'A', 'A#', 'B']
@@ -116,13 +117,14 @@ class KeyEstimator:
         pad_len = int(self._bucket_len(secs) * sr)
         batch = np.zeros((len(waveforms), pad_len), np.float32)
         seq = np.zeros(len(waveforms), np.int32)
-        for i, w in enumerate(batch_src := list(waveforms)):
+        for i, w in enumerate(waveforms):
             batch[i, :len(w)] = w
             seq[i] = 1 + len(w) // hop
         params = CQTParams(sr=sr, hop=hop,
                            bins_per_octave=cfg.bins_per_octave,
                            octaves=cfg.octaves)
-        mel = cqt(jnp.asarray(batch), params)[:, :, :, None]
+        mel = compute_cqt(jnp.asarray(batch), params,
+                          use_pallas=cfg.use_pallas_cqt)[:, :, :, None]
         out = self._apply(mel, jnp.asarray(seq))
         key = np.asarray(out[0])
         tonic = np.asarray(out[1])

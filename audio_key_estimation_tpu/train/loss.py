@@ -66,11 +66,25 @@ def compute_loss(cfg: Config, outputs, batch):
     aux["bce_loss"] = bce_loss
     aux["tonic_loss"] = tonic_loss
 
-    if cfg.genre and genre_out is not None and not cfg.local:
-        genre_labels = batch["genre"]
+    if cfg.genre and genre_out is not None:
+        genre_labels = batch["genre"]                            # (N, 11)
         genre_mask = jnp.sum(genre_labels, axis=1) == 1          # (N,)
         genre_idx = jnp.argmax(genre_labels, axis=1)
-        ce = _cross_entropy(genre_out, genre_idx)
+        if cfg.local:
+            # genre is constant per song; the reference tiles it per frame
+            # (KeyDataset.py:464) and CEs per valid window (models.py:874-875,
+            # minus its in-loop genre_out re-masking bug). Intended behavior:
+            # masked per-frame CE averaged per sample, then over labeled
+            # samples.
+            # the genre head has no sliding-window max, so its time axis is
+            # longer than the key head's; score the first T windows like the
+            # reference's [:seq-w*f+1] slicing
+            g = genre_out[:, :t]
+            ce_frames = _cross_entropy(
+                g, jnp.broadcast_to(genre_idx[:, None], g.shape[:2]))  # (N, T)
+            ce = jnp.where(mask, ce_frames, 0).sum(-1) / denom     # (N,)
+        else:
+            ce = _cross_entropy(genre_out, genre_idx)              # (N,)
         cnt = jnp.sum(genre_mask)
         genre_loss = jnp.where(cnt == 0, 0.0,
                                jnp.sum(jnp.where(genre_mask, ce, 0.0))

@@ -64,14 +64,16 @@ def create_train_state(cfg: Config, rng_key, optimizer,
     return model, state
 
 
-def _forward(model, cfg, params, batch_stats, batch, train):
+def _forward(model, cfg, params, batch_stats, batch, train, dropout_rng=None):
     seq = batch.get("seq_length") if (cfg.frames > 0 or cfg.local) else None
     variables = {"params": params, "batch_stats": batch_stats}
     args = ((batch["mel"], batch["mel2"], seq) if cfg.multi_scale
             else (batch["mel"], seq))
     if train:
+        rngs = ({"dropout": dropout_rng}
+                if (dropout_rng is not None and cfg.drop > 0) else None)
         outputs, mutated = model.apply(variables, *args, True,
-                                       mutable=["batch_stats"])
+                                       mutable=["batch_stats"], rngs=rngs)
         return outputs, mutated["batch_stats"]
     return model.apply(variables, *args, False), batch_stats
 
@@ -82,8 +84,9 @@ def make_train_step(model, cfg: Config, optimizer):
     batch arrays are stacked (acc_grad, micro_bs, ...).
     """
 
-    def loss_fn(params, batch_stats, micro):
-        outputs, new_bs = _forward(model, cfg, params, batch_stats, micro, True)
+    def loss_fn(params, batch_stats, micro, dropout_rng):
+        outputs, new_bs = _forward(model, cfg, params, batch_stats, micro,
+                                   True, dropout_rng)
         loss, aux = compute_loss(cfg, outputs, micro)
         return loss, (aux, new_bs)
 
@@ -92,15 +95,21 @@ def make_train_step(model, cfg: Config, optimizer):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
         zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        base_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)
 
-        def micro_step(carry, micro):
+        def micro_step(carry, xs):
+            micro, idx = xs
             grads_acc, bs = carry
-            (loss, (aux, new_bs)), grads = grad_fn(state.params, bs, micro)
+            rng = jax.random.fold_in(base_rng, idx)
+            (loss, (aux, new_bs)), grads = grad_fn(state.params, bs, micro,
+                                                   rng)
             grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
             return (grads_acc, new_bs), loss
 
+        acc_steps = jax.tree_util.tree_leaves(batch)[0].shape[0]
         (grads, new_bs), losses = jax.lax.scan(
-            micro_step, (zeros, state.batch_stats), batch)
+            micro_step, (zeros, state.batch_stats),
+            (batch, jnp.arange(acc_steps)))
         acc = losses.shape[0]
         grads = jax.tree_util.tree_map(lambda g: g / acc, grads)
         updates, opt_state = optimizer.update(grads, state.opt_state,
@@ -150,10 +159,21 @@ def make_eval_step(model, cfg: Config):
                          ).astype(jnp.float32)
         per_sample = dict(cats)
         per_sample["accuracy_tonic"] = acc_tonic
-        if genre_out is not None and not cfg.local:
+        if genre_out is not None:
             gmask = jnp.sum(batch["genre"], axis=1) == 1
-            ok = (jnp.argmax(genre_out, -1) == jnp.argmax(batch["genre"], -1))
-            per_sample["accuracy_genre"] = ok.astype(jnp.float32)
+            if cfg.local:
+                # per-frame genre accuracy over valid windows (intended
+                # behavior of reference models.py:905-910, whose own local
+                # path argmaxes a transposed genre_out per sample); the genre
+                # head's longer time axis is cut to the key head's T windows
+                ok = (jnp.argmax(genre_out[:, :t], -1)
+                      == jnp.argmax(batch["genre"], -1)[:, None])  # (N, T)
+                acc_genre = jnp.sum(jnp.where(mask, ok, 0), axis=1) / denom
+            else:
+                ok = (jnp.argmax(genre_out, -1)
+                      == jnp.argmax(batch["genre"], -1))
+                acc_genre = ok.astype(jnp.float32)
+            per_sample["accuracy_genre"] = acc_genre.astype(jnp.float32)
             per_sample["genre_labeled"] = gmask.astype(jnp.float32)
         return loss, per_sample
 

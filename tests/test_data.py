@@ -208,3 +208,57 @@ def test_custom_cqt_fixture_shape():
     mel = synthetic.custom_cqt(octaves=10)
     assert mel.shape == (360, 592)
     assert mel.max() == 20.0
+
+
+def test_decode_many_preserves_order(tmp_path, rng):
+    """decode_many (C++ DecodePool when built, thread fallback otherwise)
+    yields results in input order, matching decode_audio exactly."""
+    paths = []
+    for i in range(6):
+        p = str(tmp_path / f"dm{i}.wav")
+        audio_io.write_wav(p, rng.uniform(-0.5, 0.5, 500 + 137 * i), 8000)
+        paths.append(p)
+    got = list(audio_io.decode_many(paths, workers=3))
+    assert len(got) == 6
+    for p, (y, sr) in zip(paths, got):
+        ref_y, ref_sr = audio_io.decode_audio(p)
+        assert sr == ref_sr == 8000
+        np.testing.assert_array_equal(y, ref_y)
+
+
+def test_decode_many_raises_on_bad_file(tmp_path, rng):
+    good = str(tmp_path / "ok.wav")
+    audio_io.write_wav(good, rng.uniform(-0.5, 0.5, 400), 8000)
+    bad = str(tmp_path / "nope.wav")
+    with open(bad, "wb") as f:
+        f.write(b"not a wav at all")
+    with pytest.raises(Exception):
+        list(audio_io.decode_many([good, bad]))
+
+
+def test_blacklist_default_is_packaged_reference_list():
+    ds = KeyDataset(genre=False, cfg=CFG, use_cache=False)
+    assert len(ds.blacklist) == 11  # reference short_songs.txt:1-11
+    assert any("Luxury_Pool.mp3" in b for b in ds.blacklist)
+
+
+def test_blacklist_missing_file_fails_loudly(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        KeyDataset(genre=False, cfg=CFG,
+                   blacklist_path=str(tmp_path / "gone.txt"))
+
+
+def test_dataset_pallas_frontend_matches_xla(tmp_path):
+    """Config.use_pallas_cqt switches the dataset preprocessing front-end
+    (interpret-mode Pallas on CPU); features match the XLA path."""
+    root = _corpus(tmp_path)
+    ds_x = KeyDataset(genre=False, cfg=CFG, blacklist_path="", use_cache=False)
+    ds_x.import_data(loaders.GiantStepsKeyLoader(root), progress=False)
+    cfg_p = CFG.replace(use_pallas_cqt=True)
+    ds_p = KeyDataset(genre=False, cfg=cfg_p, blacklist_path="",
+                      use_cache=False)
+    ds_p.import_data(loaders.GiantStepsKeyLoader(root), progress=False)
+    a = {it["file"]: it["mel"] for it in ds_x.items}
+    b = {it["file"]: it["mel"] for it in ds_p.items}
+    for k in a:
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-4, atol=1e-5)

@@ -202,3 +202,47 @@ def test_resume_training(tmp_path):
     t2 = Trainer(cfg4, ds, ds, log_dir=log_dir)
     state, history = t2.fit(seed=0, resume=True)
     assert [h["epoch"] for h in history] == [2, 3]
+
+
+def test_local_mode_genre_training_and_accuracy(tmp_path):
+    """Local mode with a genre head: per-frame genre CE enters the loss and
+    eval reports a masked per-frame genre accuracy (intended behavior of
+    reference models.py:874-875, 905-910)."""
+    cfg = CFG.replace(local=True, loc_window_size=2, frames=5, epochs=1,
+                      genre=True, no_ckpt=True, batch_size=2, acc_grad=1,
+                      bucket_sizes=(64,))
+    root = synthetic.make_winterreise_corpus(
+        str(tmp_path / "w"),
+        [("P1", "S1", 440, "D:min"), ("P1", "S2", 330, "A:maj")],
+        local_segments={
+            "P1_S1": [(0.0, 5.0, "D:min"), (5.0, 10.0, "A:maj")],
+            "P1_S2": [(0.0, 10.0, "A:maj")]},
+        seconds=10.5)
+    ds = KeyDataset(genre=True, cfg=cfg, blacklist_path="", use_cache=False)
+    ds.import_data(loaders.SchubertWinterreiseLoader(str(tmp_path / "w"),
+                                                     local=True),
+                   progress=False)
+    trainer = Trainer(cfg, ds, ds, use_mesh=False)
+    state, history = trainer.fit(seed=0)
+    assert np.isfinite(history[0]["train_loss"])
+    assert "val_accuracy_genre" in history[0]
+    assert 0.0 <= history[0]["val_accuracy_genre"] <= 1.0
+
+
+def test_dropout_flag_trains_dense_blocks(tmp_path):
+    """Config.drop wires F.dropout into the dense layers (models.py:516-517);
+    training with drop>0 runs (dropout rng threaded through the scan) and
+    eval is deterministic."""
+    ds = _tiny_dataset(tmp_path, n=8)
+    cfg = CFG.replace(denseblock=True, drop=0.5, epochs=1, no_ckpt=True,
+                      batch_size=4, acc_grad=2)
+    trainer = Trainer(cfg, ds, ds, use_mesh=False)
+    state, history = trainer.fit(seed=0)
+    assert np.isfinite(history[0]["train_loss"])
+    # eval path ignores dropout: two evaluations agree exactly
+    ev = make_eval_step(trainer.model, cfg)
+    b = next(ds.batches(4))
+    b.pop("valid")
+    l1, _ = ev(state, b)
+    l2, _ = ev(state, b)
+    assert float(l1) == float(l2)
