@@ -22,11 +22,19 @@ Documented divergence: librosa requires hop % 2**(n_octaves-1) == 0 and
 raises otherwise (the reference's hops — e.g. round(22050/5)=4410 — do NOT
 satisfy this, so the reference's exact configuration cannot run under its
 pinned librosa either). We instead round each lower octave's frame centers
-to the nearest sample at that octave's rate: a sub-sample (< 0.5 sample)
-alignment error with negligible effect on magnitudes. Absolute-scale parity
-with librosa cannot be golden-tested in this environment (librosa not
-installed); the mathematical properties are pinned by tests instead
-(tests/test_cqt.py).
+to the nearest sample at that octave's rate: a sub-sample (< 0.5 sample at
+the octave rate, i.e. < 0.4% of the shortest kernel in the octave) alignment
+error.
+
+Numerical validation: every octave of this fast path is pinned against an
+exact full-rate direct-convolution CQT oracle (ops/cqt_oracle.py) — interior
+frames agree to < 1.5% of the octave peak, the non-downsampled top octave to
+< 1% everywhere (tests/test_cqt.py::test_fast_cqt_matches_direct_convolution
+_oracle). Boundary frames are implementation-defined to within the
+reflect-pad mirror-point shift at the downsampled rate (any recursive
+multirate CQT, librosa's included, shares this property). Absolute
+comparison against librosa itself remains pending librosa availability in
+this environment.
 """
 
 from __future__ import annotations

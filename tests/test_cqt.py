@@ -113,3 +113,73 @@ def test_only_semitones_12_bins():
     out = np.asarray(cqt(jnp.asarray(y), p12, log1p=False))[0]
     assert out.shape[0] == 72
     assert int(out[:, out.shape[1] // 2].argmax()) == 30
+
+
+# ---------------------------------------------------------------------------
+# direct-convolution oracle (VERDICT r1 item 4): the fast multirate path is
+# pinned per octave against an exact full-rate textbook CQT.
+# ---------------------------------------------------------------------------
+
+def _oracle_case(sr, octaves, seconds=8, seed=1):
+    from audio_key_estimation_tpu.ops.cqt_oracle import oracle_cqt
+    p = CQTParams(sr=sr, hop=round(sr / 5), bins_per_octave=36,
+                  octaves=octaves)
+    rng = np.random.default_rng(seed)
+    L = seconds * sr
+    tt = np.arange(L) / sr
+    y = (rng.normal(size=(1, L)) * 0.1).astype(np.float32)
+    for o in range(octaves):  # one tone per octave at an exact bin center
+        f = p.fmin * 2.0 ** (o + 13 / 36)
+        y[0] += 0.15 * np.sin(2 * np.pi * f * tt).astype(np.float32)
+    fast = np.asarray(cqt(jnp.asarray(y), p))
+    oracle = oracle_cqt(y, p)
+    return p, fast, oracle
+
+
+@pytest.mark.parametrize("sr,octaves", [(8000, 6), (22050, 8)])
+def test_fast_cqt_matches_direct_convolution_oracle(sr, octaves):
+    """Every octave of the multirate fast path agrees with the exact
+    full-rate direct-convolution CQT on interior frames to <1.5% of the
+    octave's peak (combined halfband + kernel-quantization + frame-center
+    rounding error). Boundary frames are implementation-defined to within
+    the mirror-point shift of reflect padding at the downsampled rate
+    (up to 2**o samples), so they get a loose bound only."""
+    p, fast, oracle = _oracle_case(sr, octaves)
+    T = fast.shape[-1]
+    m = 2 * 5  # 2 s margin: longest (lowest-octave) kernels span ~1.6 s
+    for o in range(octaves):
+        sl = slice(o * 36, (o + 1) * 36)
+        scale = max(oracle[:, sl].max(), 1e-6)
+        interior = np.abs(fast[:, sl, m:T - m]
+                          - oracle[:, sl, m:T - m]).max() / scale
+        full = np.abs(fast[:, sl] - oracle[:, sl]).max() / scale
+        assert interior < 0.015, f"octave {o}: interior rel {interior:.4f}"
+        assert full < 0.8, f"octave {o}: boundary rel {full:.4f}"
+    # top octave is the direct (non-downsampled) matmul: tighter everywhere
+    sl = slice((octaves - 1) * 36, octaves * 36)
+    scale = max(oracle[:, sl].max(), 1e-6)
+    assert np.abs(fast[:, sl] - oracle[:, sl]).max() / scale < 0.01
+
+
+def test_frame_center_rounding_bound():
+    """Lower-octave frame centers are rounded to the nearest sample at that
+    octave's rate: center error <= 0.5 sample, i.e. <= 0.37% of the shortest
+    kernel in any octave (ilen_min ~ Q*sr/f_max ~ 137 samples at the octave
+    rate) — the quantified bound promised in ops/cqt.py."""
+    p = CQTParams(sr=22050, hop=4410, bins_per_octave=36, octaves=8)
+    n_frames = 32
+    t = np.arange(n_frames)
+    ilen_min = p.q / 2.0 ** (1 / 36) / (p.fmin * 2.0 ** (p.octaves - 1)) \
+        * p.sr / 2.0 ** 0  # shortest kernel, in top-octave-rate samples
+    for o in range(p.octaves):
+        centers = np.round(t * (p.hop / 2 ** o))
+        err = np.abs(centers - t * (p.hop / 2 ** o)).max()
+        assert err <= 0.5
+        assert err / ilen_min < 0.004
+
+
+def test_oracle_rejects_too_short_signal():
+    from audio_key_estimation_tpu.ops.cqt_oracle import oracle_cqt
+    p = CQTParams(sr=22050, hop=4410, bins_per_octave=36, octaves=8)
+    with pytest.raises(ValueError):
+        oracle_cqt(np.zeros(1000, np.float32), p)
