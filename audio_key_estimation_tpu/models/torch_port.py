@@ -42,7 +42,9 @@ def _torch_base(path: tuple) -> str:
             parts += ["model", s[len("model_"):]]
         elif s.startswith("seq_"):
             idx = s[len("seq_"):]
-            if parts and parts[0] in _HEADS and len(parts) == 1:
+            # heads hold their Sequential directly (tonic_classifier.0.*),
+            # including under a multi-scale model1./model2. prefix
+            if parts and parts[-1] in _HEADS:
                 parts.append(idx)
             else:
                 parts += ["layer", idx]
