@@ -253,21 +253,33 @@ class Trainer:
             best_mirex = extra.get("best_mirex", -1.0)
             best_val_loss = extra.get("best_val_loss", float("inf"))
             print(f"resumed from epoch {last_epoch}", flush=True)
-        for epoch in range(start_epoch, cfg.epochs):
-            t0 = time.time()
-            train_losses = []
-            from ..data.pipeline import prefetch
-            for batch in prefetch(self.train_data.batches(
-                    step_items, shuffle=True, seed=seed + epoch,
-                    drop_last=True)):
+        from ..data.pipeline import prefetch
+
+        def device_batches(epoch):
+            """Reshape + H2D shard on the producer thread so host-side batch
+            prep overlaps device compute."""
+            for batch in self.train_data.batches(step_items, shuffle=True,
+                                                 seed=seed + epoch,
+                                                 drop_last=True):
                 batch.pop("valid", None)
                 batch = {k: np.reshape(v, (cfg.acc_grad, micro_bs)
                                        + v.shape[1:])
                          for k, v in batch.items()}
                 if mesh is not None:
                     batch = shard_batch(batch, mesh, batch_dim=1)
+                yield batch
+
+        for epoch in range(start_epoch, cfg.epochs):
+            t0 = time.time()
+            train_losses = []
+            for batch in prefetch(device_batches(epoch)):
                 state, m = train_step(state, batch)
-                train_losses.append(float(m["loss"]))
+                # keep the loss ON DEVICE: a float() here would block the
+                # host on every step (the serialize-the-device anti-pattern
+                # SURVEY.md flags in the reference's per-batch MIREX loop);
+                # fetched once per epoch below
+                train_losses.append(m["loss"])
+            train_losses = [float(x) for x in jax.device_get(train_losses)]
             val = evaluate(eval_step, state, self.val_data, micro_bs, mesh)
             row = {"epoch": epoch,
                    "train_loss": float(np.mean(train_losses)) if train_losses
