@@ -1,26 +1,35 @@
-"""Benchmark: batched CQT + PitchClassNet inference throughput on TPU.
+"""Benchmark: decode -> batched CQT -> PitchClassNet throughput on TPU.
 
 Prints ONE JSON line:
   {"metric": "audio_min_per_sec_per_chip", "value": N,
-   "unit": "audio-min/s/chip", "vs_baseline": R}
+   "unit": "audio-min/s/chip", "vs_baseline": R, "mfu": F, "stages": {...}}
 
-Workload: GiantSteps-like batch — B two-minute clips at 22.05 kHz through
-the full front-end (8-octave 36-bin log-CQT) and the flagship PitchClassNet
-(reference train_model.py defaults), end-to-end jitted. `vs_baseline` is the
-speedup over the same pipeline on one host CPU (the reference's librosa+torch
-path is CPU-bound per file; BASELINE.json north_star targets >= 50x).
+Workload: 16 two-minute 22.05 kHz songs (deterministic tones+noise) written
+as REAL WAV FILES and decoded through the production path
+(audio_io.decode_many -> C++ DecodePool), then 8 chunks x 16 clips through
+the jitted 8-octave 36-bin log-CQT + flagship PitchClassNet (reference
+train_model.py defaults). Stage times (decode / cqt / model / fused
+pipeline) are reported per audio-minute; both front-ends (XLA and fused
+Pallas) are timed and the margin printed.
+
+`value` is the fused device pipeline (CQT+model) on the best front-end —
+the driver-tracked headline. `vs_baseline` divides by the SAME JAX pipeline
+run one clip at a time on one host-CPU device (not the reference's
+librosa+torch path, which this environment cannot run; per-file librosa would
+be slower, making the ratio conservative). `mfu` is analytic front-end FLOPs
+plus XLA-reported model FLOPs over the f32 MXU peak (v5e: ~49 TFLOP/s).
 
 Timing note: under the axon relay backend, block_until_ready returns before
-remote execution finishes — every timed repetition therefore reduces the
-outputs to a scalar ON DEVICE and fetches it to host, which forces the full
-round trip (dispatch + execute + scalar readback).
-
-Extra diagnostics go to stderr; stdout carries only the JSON line.
+remote execution finishes — every timed repetition reduces to a scalar ON
+DEVICE and fetches it, forcing the full round trip. Diagnostics go to
+stderr; stdout carries only the JSON line.
 """
 
 import json
+import math
 import os
 import sys
+import tempfile
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -37,8 +46,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from audio_key_estimation_tpu.config import Config
+from audio_key_estimation_tpu.data import audio_io
 from audio_key_estimation_tpu.models import PitchClassNet
-from audio_key_estimation_tpu.ops.cqt import CQTParams, cqt, reference_hop
+from audio_key_estimation_tpu.ops.cqt import (CQTParams, cqt, kernel_bank,
+                                              reference_hop, stream_plan)
 from audio_key_estimation_tpu.ops.cqt_pallas import cqt_pallas
 
 SR = 22050
@@ -46,43 +57,78 @@ CLIP_SECONDS = 120
 BATCH = 16
 CHUNKS = 8   # batches processed per device round trip (lax.scan)
 REPS = 3
+F32_PEAK_FLOPS = 49.2e12  # v5e MXU, float32 path (bf16 peak / 4)
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build_pipeline(cfg: Config, params: CQTParams, variables, use_pallas: bool,
-                   chunks: int = CHUNKS):
+def make_corpus(tmpdir, n=BATCH):
+    """Deterministic 2-minute songs written as PCM16 WAV files."""
+    rng = np.random.default_rng(0)
+    t = np.arange(SR * CLIP_SECONDS) / SR
+    paths = []
+    for i in range(n):
+        f0 = 110.0 * 2 ** (i / 5)
+        y = (0.4 * np.sin(2 * np.pi * f0 * t)
+             + 0.2 * np.sin(2 * np.pi * f0 * 1.5 * t)
+             + 0.05 * rng.normal(size=t.shape)).astype(np.float32)
+        p = os.path.join(tmpdir, f"bench_{i}.wav")
+        audio_io.write_wav(p, y * 0.5, SR)
+        paths.append(p)
+    return paths
+
+
+def frontend_flops(p: CQTParams, L: int, batch: int) -> float:
+    """Analytic FLOPs of the v2 front-end (polyphase cascade + responses)."""
+    bank = kernel_bank(p)
+    n_fft = bank["n_fft"]
+    n_frames = 1 + L // p.hop
+    fl = 0.0
+    cur = L
+    for o in range(p.octaves):
+        if o > 0:
+            fl += batch * math.ceil(cur / 256) * 304 * 128 * 2  # downsample
+            cur = (cur - 1) // 2 + 1
+        plan = stream_plan(p.hop, o, n_fft, n_frames)
+        q, _, _, tq = plan if plan else (1, 0, 0, n_frames)
+        fl += batch * q * tq * n_fft * (2 * p.bins_per_octave) * 2
+    return fl
+
+
+def build(cfg, params, variables, front, chunks=CHUNKS):
     model = PitchClassNet(cfg)
-    front = cqt_pallas if use_pallas else cqt
 
-    def one_batch(y, seq_length):
-        mel = front(y, params)[:, :, :, None]
-        key, tonic = model.apply(variables, mel, seq_length, False)
-        return jnp.sum(key) + jnp.sum(tonic)
+    def scan_sum(fn):
+        @jax.jit
+        def run(y_chunks, *rest):
+            def body(acc, y):
+                return acc + fn(y, *rest), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), y_chunks)
+            return acc
+        return run
 
-    @jax.jit
-    def pipeline(y_chunks, seq_length):
-        # y_chunks: (chunks, B, L) — scan amortizes the host<->device round
-        # trip (the relay adds ~30 ms per fetch) over `chunks` real batches
-        def body(acc, y):
-            return acc + one_batch(y, seq_length), None
-        acc, _ = jax.lax.scan(body, jnp.float32(0), y_chunks)
-        # scalar reduction: fetching this forces completion of the whole step
-        return acc
-
-    return pipeline
+    pipeline = scan_sum(lambda y, seq: _reduce(model.apply(
+        variables, front(y, params)[:, :, :, None], seq, False)))
+    cqt_only = scan_sum(lambda y: jnp.sum(front(y, params)))
+    model_only = scan_sum(lambda mel, seq: _reduce(model.apply(
+        variables, mel, seq, False)))
+    return pipeline, cqt_only, model_only
 
 
-def time_pipeline(pipeline, ys, seq, reps=REPS):
-    float(pipeline(ys[0], seq))  # compile + warm
+def _reduce(outputs):
+    return sum(jnp.sum(o) for o in outputs)
+
+
+def time_fn(fn, *args, reps=REPS):
     t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(reps):
-        acc += float(pipeline(ys[i % len(ys)], seq))
-    dt = (time.perf_counter() - t0) / reps
-    return dt, acc
+    float(fn(*args))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(fn(*args))
+    return (time.perf_counter() - t0) / reps, compile_s
 
 
 def main():
@@ -90,11 +136,30 @@ def main():
     hop = reference_hop(SR, cfg.frames)
     params = CQTParams(sr=SR, hop=hop, bins_per_octave=cfg.bins_per_octave,
                        octaves=cfg.octaves)
-    n_frames = 1 + (SR * CLIP_SECONDS) // hop
+    L = SR * CLIP_SECONDS
+    n_frames = 1 + L // hop
+    audio_minutes = CHUNKS * BATCH * CLIP_SECONDS / 60.0
 
-    rng = np.random.default_rng(0)
-    y_host = rng.normal(size=(CHUNKS, BATCH, SR * CLIP_SECONDS)
-                        ).astype(np.float32) * 0.1
+    # --- stage 0: host decode through the production path ---
+    stages = {}
+    with tempfile.TemporaryDirectory() as td:
+        paths = make_corpus(td)
+        t0 = time.perf_counter()
+        decoded = list(audio_io.decode_many(paths, workers=8))
+        decode_s = time.perf_counter() - t0
+        decode_min = BATCH * CLIP_SECONDS / 60.0
+        stages["decode_ms_per_audio_min"] = round(decode_s / decode_min * 1e3, 2)
+        decode_tp = decode_min / decode_s
+        log(f"decode: {len(paths)} wavs in {decode_s:.2f}s "
+            f"({decode_tp:.1f} audio-min/s host)")
+
+    y0 = np.stack([w[:L] for w, _ in decoded]).astype(np.float32)
+    rng = np.random.default_rng(1)
+    # 8 chunks: decoded audio + deterministic gain/noise variations so every
+    # chunk is distinct real-shaped audio
+    y_host = np.stack([y0 * (0.6 + 0.05 * c)
+                       + rng.normal(size=y0.shape).astype(np.float32) * 0.01
+                       for c in range(CHUNKS)])
     seq_host = np.full((BATCH,), n_frames, np.int32)
 
     mel0 = jnp.zeros((1, cfg.pitches, n_frames, 1), jnp.float32)
@@ -102,55 +167,102 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), mel0,
                            jnp.full((1,), n_frames, jnp.int32), False)
 
-    audio_minutes = CHUNKS * BATCH * CLIP_SECONDS / 60.0
     dev = jax.devices()[0]
     log(f"benchmarking on {dev.device_kind} ({dev.platform})")
-    ys = [jax.device_put(jnp.asarray(y_host), dev)]
+    ys = jax.device_put(jnp.asarray(y_host), dev)
     seq = jax.device_put(jnp.asarray(seq_host), dev)
 
-    best_dt, best_kind = None, None
-    for use_pallas in (True, False):
-        if use_pallas and dev.platform != "tpu":
+    results = {}
+    for kind, front in (("pallas", cqt_pallas), ("xla", cqt)):
+        if kind == "pallas" and dev.platform != "tpu":
             continue
         try:
-            t0 = time.perf_counter()
-            pipe = build_pipeline(cfg, params, variables, use_pallas)
-            dt, _ = time_pipeline(pipe, ys, seq)
-            kind = "pallas" if use_pallas else "xla"
-            log(f"{kind} front-end: compile {time.perf_counter() - t0 - dt * REPS:.0f}s, "
-                f"{dt * 1e3:.1f} ms/batch -> {audio_minutes / dt:.1f} audio-min/s")
-            if best_dt is None or dt < best_dt:
-                best_dt, best_kind = dt, kind
+            pipeline, cqt_only, model_only = build(cfg, params, variables,
+                                                   front)
+            dt, comp = time_fn(pipeline, ys, seq)
+            dt_cqt, _ = time_fn(cqt_only, ys)
+            results[kind] = {"pipeline_s": dt, "cqt_s": dt_cqt,
+                             "compile_s": comp}
+            log(f"{kind:6s} front-end: compile {comp:.0f}s, pipeline "
+                f"{dt * 1e3:.1f} ms/step -> {audio_minutes / dt:.1f} "
+                f"audio-min/s; cqt alone {dt_cqt * 1e3:.1f} ms")
         except Exception as e:
-            log(f"{'pallas' if use_pallas else 'xla'} path failed: {e!r}")
-    if best_dt is None:
-        print(json.dumps({"metric": "audio_min_per_sec_per_chip", "value": 0.0,
-                          "unit": "audio-min/s/chip", "vs_baseline": 0.0}))
+            log(f"{kind} path failed: {e!r}")
+    if not results:
+        print(json.dumps({"metric": "audio_min_per_sec_per_chip",
+                          "value": 0.0, "unit": "audio-min/s/chip",
+                          "vs_baseline": 0.0}))
         return
-    tpu_throughput = audio_minutes / best_dt
-    log(f"best: {best_kind} {tpu_throughput:.1f} audio-min/s/chip")
 
-    # --- single-CPU baseline: identical pipeline, one clip ---
+    best = min(results, key=lambda k: results[k]["pipeline_s"])
+    dt = results[best]["pipeline_s"]
+    if len(results) == 2:
+        margin = (results["xla"]["pipeline_s"]
+                  / results["pallas"]["pipeline_s"] - 1) * 100
+        log(f"pallas vs xla margin: {margin:+.1f}% "
+            f"(positive = pallas faster); best: {best}")
+
+    # model-only stage on precomputed features
+    mel_host = np.asarray(cqt(ys[0], params))[:, :, :, None]
+    mels = jax.device_put(jnp.asarray(
+        np.broadcast_to(mel_host, (CHUNKS,) + mel_host.shape).copy()), dev)
+    _, _, model_only = build(cfg, params, variables, cqt)
+    dt_model, _ = time_fn(model_only, mels, seq)
+
+    stages["cqt_ms_per_audio_min"] = round(
+        results[best]["cqt_s"] / audio_minutes * 1e3, 3)
+    stages["model_ms_per_audio_min"] = round(dt_model / audio_minutes * 1e3, 3)
+    stages["pipeline_ms_per_audio_min"] = round(dt / audio_minutes * 1e3, 3)
+    log(f"model alone: {dt_model * 1e3:.1f} ms/step")
+
+    tpu_throughput = audio_minutes / dt
+    end_to_end = min(decode_tp, tpu_throughput)
+    stages["end_to_end_audio_min_per_s"] = round(end_to_end, 1)
+    log(f"best: {best} {tpu_throughput:.1f} audio-min/s/chip; end-to-end "
+        f"(decode overlapped) {end_to_end:.1f}")
+
+    # --- MFU: analytic front-end FLOPs + XLA-reported model FLOPs ---
+    fe_flops = frontend_flops(params, L, BATCH) * CHUNKS
+    model_flops = 0.0
+    try:
+        comp = jax.jit(lambda m, s: model.apply(variables, m, s, False)
+                       ).lower(jnp.zeros((BATCH, cfg.pitches, n_frames, 1),
+                                         jnp.float32),
+                               jnp.full((BATCH,), n_frames, jnp.int32)
+                               ).compile()
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        model_flops = float(ca.get("flops", 0.0)) * CHUNKS
+    except Exception as e:
+        log(f"model cost_analysis unavailable: {e!r}")
+    mfu = (fe_flops + model_flops) / dt / F32_PEAK_FLOPS
+    log(f"flops/step: front-end {fe_flops / 1e9:.1f}G + model "
+        f"{model_flops / 1e9:.1f}G -> MFU {mfu * 100:.2f}% of f32 peak")
+
+    # --- single-CPU baseline: identical JAX pipeline, one clip/batch ---
+    ratio = 0.0
     try:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            y1 = [jnp.asarray(y_host[0, :1][None])]   # (1, 1, L)
+            pipe_cpu, _, _ = build(cfg, params, variables, cqt, chunks=1)
+            y1 = jnp.asarray(y_host[0, :1][None])
             s1 = jnp.asarray(seq_host[:1])
-            pipe_cpu = build_pipeline(cfg, params, variables, False, chunks=1)
-            dt_cpu, _ = time_pipeline(pipe_cpu, y1, s1, reps=2)
-        cpu_throughput = (CLIP_SECONDS / 60.0) / dt_cpu
-        log(f"cpu baseline: {dt_cpu * 1e3:.0f} ms/clip -> "
-            f"{cpu_throughput:.2f} audio-min/s")
-        ratio = tpu_throughput / cpu_throughput
+            dt_cpu, _ = time_fn(pipe_cpu, y1, s1, reps=2)
+        cpu_tp = (CLIP_SECONDS / 60.0) / dt_cpu
+        log(f"cpu baseline (same JAX pipeline, 1 clip, 1 host CPU): "
+            f"{dt_cpu * 1e3:.0f} ms/clip -> {cpu_tp:.2f} audio-min/s")
+        ratio = tpu_throughput / cpu_tp
     except Exception as e:
         log(f"cpu baseline failed: {e!r}")
-        ratio = 0.0
 
     print(json.dumps({
         "metric": "audio_min_per_sec_per_chip",
         "value": round(tpu_throughput, 2),
         "unit": "audio-min/s/chip",
         "vs_baseline": round(ratio, 2),
+        "mfu": round(mfu, 4),
+        "stages": stages,
+        "front_end": best,
     }))
 
 

@@ -149,3 +149,20 @@ def test_dryrun_multichip_hostile_parent_env(tmp_path):
         capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "dryrun_multichip(8): ok" in proc.stdout
+
+
+def test_bench_components(tmp_path, monkeypatch):
+    """bench.py pieces: corpus writer + real-decode stage + analytic FLOPs
+    (full bench runs on TPU via the driver)."""
+    import bench as bench_mod
+    paths = bench_mod.make_corpus(str(tmp_path), n=2)
+    from audio_key_estimation_tpu.data import audio_io
+    decoded = list(audio_io.decode_many(paths))
+    assert len(decoded) == 2
+    assert all(sr == bench_mod.SR for _, sr in decoded)
+    assert all(len(w) == bench_mod.SR * bench_mod.CLIP_SECONDS
+               for w, _ in decoded)
+    from audio_key_estimation_tpu.ops.cqt import CQTParams
+    p = CQTParams(sr=bench_mod.SR, hop=4410, bins_per_octave=36, octaves=8)
+    fl = bench_mod.frontend_flops(p, bench_mod.SR * 120, 16)
+    assert 1e9 < fl < 1e12  # sane GFLOP range for one chunk
