@@ -6,11 +6,14 @@ Prints ONE JSON line:
 
 Workload: 16 two-minute 22.05 kHz songs (deterministic tones+noise) written
 as REAL WAV FILES and decoded through the production path
-(audio_io.decode_many -> C++ DecodePool), then 8 chunks x 16 clips through
-the jitted 8-octave 36-bin log-CQT + flagship PitchClassNet (reference
-train_model.py defaults). Stage times (decode / cqt / model / fused
-pipeline) are reported per audio-minute; both front-ends (XLA and fused
-Pallas) are timed and the margin printed.
+(audio_io.decode_many -> C++ DecodePool), replicated with gain/noise
+variation to ONE monolithic 256-clip batch through the jitted 8-octave
+36-bin log-CQT + flagship PitchClassNet (reference train_model.py
+defaults). The monolithic batch matters: v5e throughput on this model is
+per-tile-overhead-bound at small batch (PERFNOTES.md) — 256 clips at once
+is 3.5x faster than 8 scanned chunks of 16. Stage times (decode / cqt /
+model / fused pipeline) are reported per audio-minute; both front-ends
+(XLA and fused Pallas) are timed and the margin printed.
 
 `value` is the fused device pipeline (CQT+model) on the best front-end —
 the driver-tracked headline. `vs_baseline` divides by the SAME JAX pipeline
@@ -54,8 +57,8 @@ from audio_key_estimation_tpu.ops.cqt_pallas import cqt_pallas
 
 SR = 22050
 CLIP_SECONDS = 120
-BATCH = 16
-CHUNKS = 8   # batches processed per device round trip (lax.scan)
+BATCH = 16   # decoded source clips
+REPLICAS = 16  # gain/noise variants -> device batch = 256 clips, one launch
 REPS = 3
 F32_PEAK_FLOPS = 49.2e12  # v5e MXU, float32 path (bf16 peak / 4)
 
@@ -97,22 +100,12 @@ def frontend_flops(p: CQTParams, L: int, batch: int) -> float:
     return fl
 
 
-def build(cfg, params, variables, front, chunks=CHUNKS):
+def build(cfg, params, variables, front):
     model = PitchClassNet(cfg)
-
-    def scan_sum(fn):
-        @jax.jit
-        def run(y_chunks, *rest):
-            def body(acc, y):
-                return acc + fn(y, *rest), None
-            acc, _ = jax.lax.scan(body, jnp.float32(0), y_chunks)
-            return acc
-        return run
-
-    pipeline = scan_sum(lambda y, seq: _reduce(model.apply(
+    pipeline = jax.jit(lambda y, seq: _reduce(model.apply(
         variables, front(y, params)[:, :, :, None], seq, False)))
-    cqt_only = scan_sum(lambda y: jnp.sum(front(y, params)))
-    model_only = scan_sum(lambda mel, seq: _reduce(model.apply(
+    cqt_only = jax.jit(lambda y: jnp.sum(front(y, params)))
+    model_only = jax.jit(lambda mel, seq: _reduce(model.apply(
         variables, mel, seq, False)))
     return pipeline, cqt_only, model_only
 
@@ -138,7 +131,8 @@ def main():
                        octaves=cfg.octaves)
     L = SR * CLIP_SECONDS
     n_frames = 1 + L // hop
-    audio_minutes = CHUNKS * BATCH * CLIP_SECONDS / 60.0
+    n_clips = REPLICAS * BATCH
+    audio_minutes = n_clips * CLIP_SECONDS / 60.0
 
     # --- stage 0: host decode through the production path ---
     stages = {}
@@ -155,12 +149,12 @@ def main():
 
     y0 = np.stack([w[:L] for w, _ in decoded]).astype(np.float32)
     rng = np.random.default_rng(1)
-    # 8 chunks: decoded audio + deterministic gain/noise variations so every
-    # chunk is distinct real-shaped audio
-    y_host = np.stack([y0 * (0.6 + 0.05 * c)
-                       + rng.normal(size=y0.shape).astype(np.float32) * 0.01
-                       for c in range(CHUNKS)])
-    seq_host = np.full((BATCH,), n_frames, np.int32)
+    # one monolithic batch: decoded audio + deterministic gain/noise
+    # variations so every clip is distinct real-shaped audio
+    y_host = np.concatenate([y0 * (0.6 + 0.05 * c)
+                             + rng.normal(size=y0.shape).astype(np.float32)
+                             * 0.01 for c in range(REPLICAS)])
+    seq_host = np.full((n_clips,), n_frames, np.int32)
 
     mel0 = jnp.zeros((1, cfg.pitches, n_frames, 1), jnp.float32)
     model = PitchClassNet(cfg)
@@ -203,9 +197,9 @@ def main():
             f"(positive = pallas faster); best: {best}")
 
     # model-only stage on precomputed features
-    mel_host = np.asarray(cqt(ys[0], params))[:, :, :, None]
-    mels = jax.device_put(jnp.asarray(
-        np.broadcast_to(mel_host, (CHUNKS,) + mel_host.shape).copy()), dev)
+    mel_host = np.asarray(cqt(ys[:BATCH], params))[:, :, :, None]
+    mels = jax.device_put(jnp.asarray(np.concatenate(
+        [mel_host] * REPLICAS)), dev)
     _, _, model_only = build(cfg, params, variables, cqt)
     dt_model, _ = time_fn(model_only, mels, seq)
 
@@ -222,17 +216,17 @@ def main():
         f"(decode overlapped) {end_to_end:.1f}")
 
     # --- MFU: analytic front-end FLOPs + XLA-reported model FLOPs ---
-    fe_flops = frontend_flops(params, L, BATCH) * CHUNKS
+    fe_flops = frontend_flops(params, L, n_clips)
     model_flops = 0.0
     try:
         comp = jax.jit(lambda m, s: model.apply(variables, m, s, False)
-                       ).lower(jnp.zeros((BATCH, cfg.pitches, n_frames, 1),
+                       ).lower(jnp.zeros((n_clips, cfg.pitches, n_frames, 1),
                                          jnp.float32),
-                               jnp.full((BATCH,), n_frames, jnp.int32)
+                               jnp.full((n_clips,), n_frames, jnp.int32)
                                ).compile()
         ca = comp.cost_analysis()
         ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        model_flops = float(ca.get("flops", 0.0)) * CHUNKS
+        model_flops = float(ca.get("flops", 0.0))
     except Exception as e:
         log(f"model cost_analysis unavailable: {e!r}")
     mfu = (fe_flops + model_flops) / dt / F32_PEAK_FLOPS
@@ -244,8 +238,8 @@ def main():
     try:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
-            pipe_cpu, _, _ = build(cfg, params, variables, cqt, chunks=1)
-            y1 = jnp.asarray(y_host[0, :1][None])
+            pipe_cpu, _, _ = build(cfg, params, variables, cqt)
+            y1 = jnp.asarray(y_host[:1])
             s1 = jnp.asarray(seq_host[:1])
             dt_cpu, _ = time_fn(pipe_cpu, y1, s1, reps=2)
         cpu_tp = (CLIP_SECONDS / 60.0) / dt_cpu
