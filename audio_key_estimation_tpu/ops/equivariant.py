@@ -45,14 +45,33 @@ def equivariant_pc_conv(x: jax.Array, kernel: jax.Array,
     x      : (N, 12, T, Cin)
     kernel : (12, kd, Cin, Cout)  — full height; output height is again 12
     returns: (N, 12, T', Cout), T' = T if same_depth_padding else T - kd + 1
+
+    Evaluated as a circulant einsum rather than a height-12 convolution:
+
+        out(n,p,t,o) = sum_{q,dt,ci} x(n,q,t+dt,ci) * W[(q-p) % 12, dt,ci,o]
+
+    This is term-for-term the reference's wrap-concat conv (xw row p+dp is
+    x row (p+dp) % 12 with dp = q-p): shifting the input rows permutes q,
+    which permutes the output rows over the same summands — equivariance
+    holds to float roundoff (< 1e-7; the matmul tiling may reassociate the
+    reduction). The XLA TPU backend compiles a kernel-height-12 conv in
+    ~60 s and runs it off the MXU; the einsum is one dense matmul
+    (compiles in seconds).
     """
     pc = kernel.shape[0]
     kd = kernel.shape[1]
-    xw = wrap_pitch_classes(x, pc)
-    pad_t = (kd // 2, kd // 2) if same_depth_padding else (0, 0)
-    y = lax.conv_general_dilated(
-        xw, kernel.astype(x.dtype), window_strides=(1, 1),
-        padding=[(0, 0), pad_t], dimension_numbers=_DN)
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    if same_depth_padding:
+        x = jnp.pad(x, ((0, 0), (0, 0), (kd // 2, kd // 2), (0, 0)))
+    t_out = x.shape[2] - kd + 1
+    # time im2col, k = (dt, ci) dt-major
+    cols = jnp.concatenate([x[:, :, dt: dt + t_out] for dt in range(kd)],
+                           axis=-1)                      # (N, 12, T', kd*Cin)
+    # circulant expansion: wexp[q, p] = kernel[(q - p) % pc]
+    wexp = jnp.stack([jnp.roll(kernel, p, axis=0) for p in range(pc)],
+                     axis=1)                             # (q, p, kd, Cin, Cout)
+    wexp = wexp.reshape(pc, pc, kd * cin, cout).astype(x.dtype)
+    y = jnp.einsum("nqtk,qpko->npto", cols, wexp)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
