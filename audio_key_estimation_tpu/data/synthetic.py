@@ -34,13 +34,14 @@ def sine_wav(path: str, freq: float, seconds: float = 2.0, sr: int = 22050):
     write_wav(path, 0.5 * np.sin(2 * np.pi * freq * t), sr)
 
 
-def make_giantsteps_corpus(root: str, songs):
+def make_giantsteps_corpus(root: str, songs, seconds: float = 2.0):
     """songs: list of (name, freq, key_string, genre_string)."""
     os.makedirs(os.path.join(root, "audio"), exist_ok=True)
     os.makedirs(os.path.join(root, "annotations", "key"), exist_ok=True)
     os.makedirs(os.path.join(root, "annotations", "genre"), exist_ok=True)
     for name, freq, key, genre in songs:
-        sine_wav(os.path.join(root, "audio", f"{name}.wav"), freq)
+        sine_wav(os.path.join(root, "audio", f"{name}.wav"), freq,
+                 seconds=seconds)
         with open(os.path.join(root, "annotations", "key", f"{name}.key"), "w") as f:
             f.write(key)
         with open(os.path.join(root, "annotations", "genre", f"{name}.genre"), "w") as f:

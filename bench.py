@@ -138,9 +138,13 @@ def main():
     stages = {}
     with tempfile.TemporaryDirectory() as td:
         paths = make_corpus(td)
-        t0 = time.perf_counter()
-        decoded = list(audio_io.decode_many(paths, workers=8))
-        decode_s = time.perf_counter() - t0
+        list(audio_io.decode_many(paths[:2]))  # warm page cache + pool
+        best_s = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            decoded = list(audio_io.decode_many(paths, workers=8))
+            best_s = min(best_s, time.perf_counter() - t0)
+        decode_s = best_s
         decode_min = BATCH * CLIP_SECONDS / 60.0
         stages["decode_ms_per_audio_min"] = round(decode_s / decode_min * 1e3, 2)
         decode_tp = decode_min / decode_s
