@@ -66,6 +66,23 @@ class Prediction:
     tonic_logits: Optional[np.ndarray] = None
 
 
+@dataclass
+class WindowPrediction:
+    """One local-mode window: key over [start, end) seconds."""
+    start: float
+    end: float
+    key: str
+    tonic: str
+    confidence: float
+
+
+@dataclass
+class LocalPrediction:
+    windows: list
+    key_probs: Optional[np.ndarray] = None   # (T', 12) per-window sigmoids
+    tonic_logits: Optional[np.ndarray] = None
+
+
 class KeyEstimator:
     """Batched inference over arbitrary audio.
 
@@ -80,6 +97,7 @@ class KeyEstimator:
         self.bucket_seconds = bucket_seconds
         self._apply = jax.jit(
             lambda mel, seq: self.model.apply(self.variables, mel, seq, False))
+        self._apply_local = None  # built on first predict_*_local call
 
     # ------------------------------------------------------------------
     @classmethod
@@ -143,14 +161,72 @@ class KeyEstimator:
 
     def predict_files(self, paths: Sequence[Union[str, os.PathLike]],
                       **kw) -> List[Prediction]:
+        return self._predict_files(paths, self.predict_waveforms, **kw)
+
+    def _predict_files(self, paths, fn, **kw):
         decoded = [decode_audio(str(p)) for p in paths]
         by_sr = {}
-        order = {}
         for i, (w, sr) in enumerate(decoded):
             by_sr.setdefault(sr, []).append((i, w))
-        results: List[Optional[Prediction]] = [None] * len(decoded)
+        results: list = [None] * len(decoded)
         for sr, group in by_sr.items():
-            preds = self.predict_waveforms([w for _, w in group], sr, **kw)
+            preds = fn([w for _, w in group], sr, **kw)
             for (i, _), p in zip(group, preds):
                 results[i] = p
         return results
+
+    # ------------------------------------------------------------------
+    # local (per-window) key sequences — the serving face of --local mode
+    # (reference models.py:861-876 only trains/evals it; no inference path)
+    # ------------------------------------------------------------------
+    def predict_waveforms_local(self, waveforms: Sequence[np.ndarray],
+                                sr: int, return_raw: bool = False
+                                ) -> List[LocalPrediction]:
+        """Per-window key estimates: each window spans loc_window_size
+        seconds, advancing 1/frames seconds per step (the local head's
+        sliding max over frame windows)."""
+        cfg = self.cfg.replace(local=True)
+        if self._apply_local is None:
+            model = PitchClassNet(cfg, dtype=jnp.dtype(cfg.dtype))
+            self._apply_local = jax.jit(
+                lambda mel, seq: model.apply(self.variables, mel, seq, False))
+        hop = reference_hop(sr, cfg.frames, cfg.window_size,
+                            max(len(w) for w in waveforms))
+        secs = max(len(w) for w in waveforms) / sr
+        pad_len = int(self._bucket_len(secs) * sr)
+        batch = np.zeros((len(waveforms), pad_len), np.float32)
+        seq = np.zeros(len(waveforms), np.int32)
+        for i, w in enumerate(waveforms):
+            batch[i, :len(w)] = w
+            seq[i] = 1 + len(w) // hop
+        params = CQTParams(sr=sr, hop=hop,
+                           bins_per_octave=cfg.bins_per_octave,
+                           octaves=cfg.octaves)
+        mel = compute_cqt(jnp.asarray(batch), params,
+                          use_pallas=cfg.use_pallas_cqt)[:, :, :, None]
+        out = self._apply_local(mel, jnp.asarray(seq))
+        key = np.asarray(out[0])                     # (N, T', 12)
+        tonic = np.asarray(out[1])
+        preds = []
+        win_s = cfg.loc_window_size
+        step_s = 1.0 / cfg.frames
+        for i in range(len(waveforms)):
+            n_windows = max(int(seq[i]) - cfg.loc_window_size * cfg.frames
+                            + 1, 0)
+            n_windows = min(n_windows, key.shape[1])
+            windows = []
+            for t in range(n_windows):
+                info = key_name(key[i, t], tonic[i, t])
+                windows.append(WindowPrediction(
+                    start=t * step_s, end=t * step_s + win_s,
+                    key=info["key"], tonic=info["tonic"],
+                    confidence=info["confidence"]))
+            preds.append(LocalPrediction(
+                windows=windows,
+                key_probs=key[i, :n_windows] if return_raw else None,
+                tonic_logits=tonic[i, :n_windows] if return_raw else None))
+        return preds
+
+    def predict_files_local(self, paths: Sequence[Union[str, os.PathLike]],
+                            **kw) -> List[LocalPrediction]:
+        return self._predict_files(paths, self.predict_waveforms_local, **kw)

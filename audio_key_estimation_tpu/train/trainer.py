@@ -182,17 +182,23 @@ def make_eval_step(model, cfg: Config):
 
 def evaluate(eval_step, state, dataset, batch_size: int,
              mesh=None) -> Dict[str, float]:
-    """Masked aggregation over a dataset (repeat-padded batches excluded)."""
-    sums: Dict[str, float] = {}
-    losses, n_batches, n_samples = [], 0, 0
-    genre_hits = genre_cnt = 0.0
+    """Masked aggregation over a dataset (repeat-padded batches excluded).
+
+    Device results stay on device until every batch is dispatched (no
+    per-batch host sync); the masked reduction happens once at the end.
+    """
+    pending = []  # (valid_mask, loss_dev, per_sample_dev)
     for batch in dataset.batches(batch_size):
         valid = batch.pop("valid")
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         loss, per_sample = eval_step(state, batch)
+        pending.append((np.asarray(valid), loss, per_sample))
+    sums: Dict[str, float] = {}
+    losses, n_samples = [], 0
+    genre_hits = genre_cnt = 0.0
+    for valid, loss, per_sample in jax.device_get(pending):
         losses.append(float(loss))
-        n_batches += 1
         v = np.asarray(valid)
         n_samples += v.sum()
         ps = {k: np.asarray(x) for k, x in per_sample.items()}

@@ -119,8 +119,13 @@ def time_fn(fn, *args, reps=REPS):
     float(fn(*args))
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    for _ in range(reps):
-        float(fn(*args))
+    # dispatch all reps before fetching: jax queues the launches, so the
+    # relay's ~30 ms dispatch round trip overlaps device compute — this
+    # measures steady-state THROUGHPUT (back-to-back steps), the serving
+    # regime, not single-step latency
+    outs = [fn(*args) for _ in range(reps)]
+    for o in outs:
+        float(o)
     return (time.perf_counter() - t0) / reps, compile_s
 
 

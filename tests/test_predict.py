@@ -69,3 +69,31 @@ def test_predict_files_end_to_end(tmp_path):
                                      ("C C# D D# E F F# G G# A A# B".split())]
         assert p.genre is not None
         assert p.key_probs.shape == (12,)
+
+
+def test_predict_local_windows(tmp_path):
+    """Local-mode serving: per-window key sequences with correct window
+    timing (loc_window_size seconds every 1/frames seconds)."""
+    import os
+    from audio_key_estimation_tpu.predict import LocalPrediction
+    cfg = Config(octaves=4, num_layers=2, conv_layers=1, n_filters=2,
+                 kernel_size=3, head_layers=1, frames=5, loc_window_size=2)
+    optimizer = make_optimizer(cfg, 1)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0), optimizer)
+    run_dir = str(tmp_path / "version_0")
+    os.makedirs(run_dir)
+    ckpt_lib.save(run_dir, state, cfg)
+
+    p = str(tmp_path / "s.wav")
+    sine_wav(p, 330.0, seconds=5.0)
+
+    est = KeyEstimator.from_checkpoint(run_dir, bucket_seconds=(6,))
+    (pred,) = est.predict_files_local([p], return_raw=True)
+    assert isinstance(pred, LocalPrediction)
+    # 5 s at 5 fps -> seq = 1 + 5*5 = 26 frames; windows = 26 - 2*5 + 1 = 17
+    assert len(pred.windows) == 17
+    w0 = pred.windows[0]
+    assert w0.start == 0.0 and w0.end == 2.0
+    assert abs(pred.windows[1].start - 0.2) < 1e-9
+    assert pred.key_probs.shape == (17, 12)
+    assert all(w.key for w in pred.windows)
