@@ -28,6 +28,14 @@ class AudioDecodeError(RuntimeError):
     pass
 
 
+class _null_ctx:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
+
+
 def _decode_wav_native(path: str):
     lib = load_library()
     if lib is None:
@@ -139,7 +147,13 @@ def decode_many(paths, workers: int = 8):
     native_paths: dict = {}
     pool = None
     py_jobs: dict = {}
-    with futures.ThreadPoolExecutor(max_workers=workers) as tpool:
+    needs_py = [p for p in paths
+                if lib is None or os.path.splitext(p)[1].lower() != ".wav"]
+    # no Python thread pool unless some file actually needs it — idle
+    # threads compete with the C++ workers for cores on small hosts
+    with futures.ThreadPoolExecutor(
+            max_workers=max(1, min(workers, len(needs_py) or 1))) \
+            if needs_py else _null_ctx() as tpool:
         try:
             if lib is not None:
                 pool = lib.akx_pool_create(workers)

@@ -207,6 +207,27 @@ def octave_streams(y: jax.Array, plan, n_fft: int) -> jax.Array:
     return jnp.stack([ypad[:, c: c + width] for c in offsets], axis=1)
 
 
+def octave_frames(y: jax.Array, plan, n_fft: int) -> jax.Array:
+    """(B, L) octave-rate signal -> (B, q, Tq, n_fft) frame matrices.
+
+    Same frames as octave_streams + reshape + [:, :n_fft], but each stream
+    is column-sliced to n_fft BEFORE the stack, so the materialized tensor
+    is n_fft/stride (~23%) of the full stream width — the streams concat
+    otherwise dominates the front-end's HBM traffic at large batch.
+    """
+    q, stride, offsets, tq = plan
+    half = n_fft // 2
+    width = tq * stride
+    need = max(offsets) + width
+    ypad = jnp.pad(y, ((0, 0), (half, half + 1)), mode="reflect")
+    if ypad.shape[1] < need:
+        ypad = jnp.pad(ypad, ((0, 0), (0, need - ypad.shape[1])))
+    b = y.shape[0]
+    per = [ypad[:, c: c + width].reshape(b, tq, stride)[:, :, :n_fft]
+           for c in offsets]
+    return jnp.stack(per, axis=1)
+
+
 def interleave_streams(resp: jax.Array, plan, n_frames: int) -> jax.Array:
     """(B, q, Tq, K) per-stream responses -> (B, n_frames, K) in time order."""
     b, q, tq, k = resp.shape
@@ -248,9 +269,7 @@ def cqt(y: jax.Array, p: CQTParams, *, log1p: bool = True) -> jax.Array:
             cur = downsample2(cur, taps)
         plan = stream_plan(p.hop, o, n_fft, n_frames)
         if plan is not None:
-            q, stride, _, tq = plan
-            streams = octave_streams(cur, plan, n_fft)
-            frames = streams.reshape(cur.shape[0], q, tq, stride)[..., :n_fft]
+            frames = octave_frames(cur, plan, n_fft)
             r = jnp.einsum("bqtn,nk->bqtk", frames, kmat,
                            preferred_element_type=jnp.float32)
             mag = jnp.sqrt(r[..., :bpo] ** 2 + r[..., bpo:] ** 2)
