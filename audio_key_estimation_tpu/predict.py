@@ -90,14 +90,30 @@ class KeyEstimator:
     >>> est.predict_files(["song.wav"])  # -> [Prediction(key='A minor', ...)]
     """
 
-    def __init__(self, cfg: Config, variables, *, bucket_seconds=(60, 180, 420)):
+    def __init__(self, cfg: Config, variables, *, bucket_seconds=(60, 180, 420),
+                 mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — inference
+        runs data-parallel: variables replicated, the clip batch sharded,
+        XLA splitting the CQT + forward across chips over ICI. Batches are
+        repeat-padded up to a multiple of the mesh size."""
         self.cfg = cfg.replace(local=False)
         self.model = PitchClassNet(self.cfg, dtype=jnp.dtype(cfg.dtype))
+        self.mesh = mesh
+        if mesh is not None:
+            from .parallel.mesh import replicate
+            variables = replicate(variables, mesh)
         self.variables = variables
         self.bucket_seconds = bucket_seconds
         self._apply = jax.jit(
             lambda mel, seq: self.model.apply(self.variables, mel, seq, False))
         self._apply_local = None  # built on first predict_*_local call
+
+    def _mesh_pad(self, n: int) -> int:
+        """Batch rows needed so the 'data' axis divides the batch evenly."""
+        if self.mesh is None:
+            return n
+        d = int(np.prod(self.mesh.devices.shape))
+        return -(-n // d) * d
 
     # ------------------------------------------------------------------
     @classmethod
@@ -126,24 +142,36 @@ class KeyEstimator:
                 return b
         return float(np.ceil(seconds / 60.0) * 60)
 
-    def predict_waveforms(self, waveforms: Sequence[np.ndarray], sr: int,
-                          return_raw: bool = False) -> List[Prediction]:
-        cfg = self.cfg
+    def _make_batch(self, waveforms, sr, cfg):
+        """Bucket-padded (and mesh-padded) signal batch + true seq lengths."""
         hop = reference_hop(sr, cfg.frames, cfg.window_size,
                             max(len(w) for w in waveforms))
         secs = max(len(w) for w in waveforms) / sr
         pad_len = int(self._bucket_len(secs) * sr)
-        batch = np.zeros((len(waveforms), pad_len), np.float32)
-        seq = np.zeros(len(waveforms), np.int32)
+        n_pad = self._mesh_pad(len(waveforms))
+        batch = np.zeros((n_pad, pad_len), np.float32)
+        seq = np.ones(n_pad, np.int32)  # mesh-pad rows: 1 valid frame
         for i, w in enumerate(waveforms):
             batch[i, :len(w)] = w
             seq[i] = 1 + len(w) // hop
+        batch_j, seq_j = jnp.asarray(batch), jnp.asarray(seq)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            batch_j = jax.device_put(batch_j,
+                                     NamedSharding(self.mesh, P("data")))
+            seq_j = jax.device_put(seq_j, NamedSharding(self.mesh, P("data")))
+        return batch_j, seq_j, hop
+
+    def predict_waveforms(self, waveforms: Sequence[np.ndarray], sr: int,
+                          return_raw: bool = False) -> List[Prediction]:
+        cfg = self.cfg
+        batch, seq, hop = self._make_batch(waveforms, sr, cfg)
         params = CQTParams(sr=sr, hop=hop,
                            bins_per_octave=cfg.bins_per_octave,
                            octaves=cfg.octaves)
-        mel = compute_cqt(jnp.asarray(batch), params,
+        mel = compute_cqt(batch, params,
                           use_pallas=cfg.use_pallas_cqt)[:, :, :, None]
-        out = self._apply(mel, jnp.asarray(seq))
+        out = self._apply(mel, seq)
         key = np.asarray(out[0])
         tonic = np.asarray(out[1])
         genre = np.asarray(out[2]) if cfg.genre else None
@@ -190,21 +218,14 @@ class KeyEstimator:
             model = PitchClassNet(cfg, dtype=jnp.dtype(cfg.dtype))
             self._apply_local = jax.jit(
                 lambda mel, seq: model.apply(self.variables, mel, seq, False))
-        hop = reference_hop(sr, cfg.frames, cfg.window_size,
-                            max(len(w) for w in waveforms))
-        secs = max(len(w) for w in waveforms) / sr
-        pad_len = int(self._bucket_len(secs) * sr)
-        batch = np.zeros((len(waveforms), pad_len), np.float32)
-        seq = np.zeros(len(waveforms), np.int32)
-        for i, w in enumerate(waveforms):
-            batch[i, :len(w)] = w
-            seq[i] = 1 + len(w) // hop
+        batch, seq_j, hop = self._make_batch(waveforms, sr, cfg)
+        seq = np.asarray(seq_j)
         params = CQTParams(sr=sr, hop=hop,
                            bins_per_octave=cfg.bins_per_octave,
                            octaves=cfg.octaves)
-        mel = compute_cqt(jnp.asarray(batch), params,
+        mel = compute_cqt(batch, params,
                           use_pallas=cfg.use_pallas_cqt)[:, :, :, None]
-        out = self._apply_local(mel, jnp.asarray(seq))
+        out = self._apply_local(mel, seq_j)
         key = np.asarray(out[0])                     # (N, T', 12)
         tonic = np.asarray(out[1])
         preds = []

@@ -97,3 +97,35 @@ def test_predict_local_windows(tmp_path):
     assert abs(pred.windows[1].start - 0.2) < 1e-9
     assert pred.key_probs.shape == (17, 12)
     assert all(w.key for w in pred.windows)
+
+
+def test_predict_sharded_matches_single_device(tmp_path):
+    """DP-sharded inference (mesh over 8 virtual devices): predictions are
+    identical to the unsharded path, including with a clip count that does
+    not divide the mesh (repeat/zero padding masked out)."""
+    import os
+    from audio_key_estimation_tpu.parallel.mesh import make_mesh
+    cfg = Config(octaves=4, num_layers=2, conv_layers=1, n_filters=2,
+                 kernel_size=3, head_layers=1)
+    optimizer = make_optimizer(cfg, 1)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0), optimizer)
+    run_dir = str(tmp_path / "version_0")
+    os.makedirs(run_dir)
+    ckpt_lib.save(run_dir, state, cfg)
+
+    paths = []
+    for i, f in enumerate((261.6, 440.0, 330.0)):   # 3 clips, mesh of 8
+        p = str(tmp_path / f"s{i}.wav")
+        sine_wav(p, f, seconds=3.0)
+        paths.append(p)
+
+    est1 = KeyEstimator.from_checkpoint(run_dir, bucket_seconds=(4,))
+    est8 = KeyEstimator.from_checkpoint(run_dir, bucket_seconds=(4,),
+                                        mesh=make_mesh((8,)))
+    p1 = est1.predict_files(paths, return_raw=True)
+    p8 = est8.predict_files(paths, return_raw=True)
+    assert len(p8) == 3
+    for a, b in zip(p1, p8):
+        assert a.key == b.key and a.tonic == b.tonic
+        np.testing.assert_allclose(a.key_probs, b.key_probs, rtol=2e-4,
+                                   atol=2e-5)
