@@ -66,8 +66,9 @@ class Config:
     seed: int = 0
 
     # ---- TPU-native knobs (new; no reference counterpart) ----
+    # mixed precision: parameters are always stored float32; `dtype`
+    # selects the compute path (bfloat16 halves activation HBM traffic)
     dtype: str = "float32"         # compute dtype: float32 | bfloat16
-    param_dtype: str = "float32"
     mesh_shape: tuple = ()          # e.g. (8,) for 8-way data parallel; () = all devices
     mesh_axes: tuple = ("data",)
     remat: bool = False             # jax.checkpoint the trunk (dense blocks use it anyway)

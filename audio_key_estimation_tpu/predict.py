@@ -74,6 +74,7 @@ class WindowPrediction:
     key: str
     tonic: str
     confidence: float
+    genre: Optional[str] = None
 
 
 @dataclass
@@ -228,6 +229,7 @@ class KeyEstimator:
         out = self._apply_local(mel, seq_j)
         key = np.asarray(out[0])                     # (N, T', 12)
         tonic = np.asarray(out[1])
+        genre = np.asarray(out[2]) if cfg.genre else None
         preds = []
         win_s = cfg.loc_window_size
         step_s = 1.0 / cfg.frames
@@ -241,7 +243,9 @@ class KeyEstimator:
                 windows.append(WindowPrediction(
                     start=t * step_s, end=t * step_s + win_s,
                     key=info["key"], tonic=info["tonic"],
-                    confidence=info["confidence"]))
+                    confidence=info["confidence"],
+                    genre=(A_GENRES[int(np.argmax(genre[i, t]))]
+                           if genre is not None else None)))
             preds.append(LocalPrediction(
                 windows=windows,
                 key_probs=key[i, :n_windows] if return_raw else None,

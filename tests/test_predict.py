@@ -129,3 +129,29 @@ def test_predict_sharded_matches_single_device(tmp_path):
         assert a.key == b.key and a.tonic == b.tonic
         np.testing.assert_allclose(a.key_probs, b.key_probs, rtol=2e-4,
                                    atol=2e-5)
+
+
+def test_predict_cli(tmp_path, capsys):
+    """CLI surface: global prediction and --local_windows timeline."""
+    import os
+    from audio_key_estimation_tpu.cli import predict as predict_cli
+    cfg = Config(octaves=4, num_layers=2, conv_layers=1, n_filters=2,
+                 kernel_size=3, head_layers=1, frames=5, loc_window_size=2,
+                 log_dir=str(tmp_path / "Model_logs"))
+    optimizer = make_optimizer(cfg, 1)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0), optimizer)
+    run_dir = os.path.join(cfg.log_dir, "lightning_logs", "version_0")
+    os.makedirs(run_dir)
+    ckpt_lib.save(run_dir, state, cfg)
+    wav = str(tmp_path / "song.wav")
+    sine_wav(wav, 261.6, seconds=3.0)
+
+    base = [wav, "--version", "0", "--log_dir", cfg.log_dir]
+    res = predict_cli.main(base)
+    assert wav in res and res[wav].key
+    out = capsys.readouterr().out
+    assert "conf" in out
+
+    res = predict_cli.main(base + ["--local_windows"])
+    assert len(res[wav].windows) > 0
+    assert "s  " in capsys.readouterr().out
