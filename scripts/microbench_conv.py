@@ -176,4 +176,5 @@ def _pallas_extra():
 
 
 if __name__ == "__main__":
+    main()
     _pallas_extra()

@@ -42,18 +42,19 @@ def cascade(down):
         return acc
     return run
 
-rng = np.random.default_rng(0)
-dev = jax.devices()[0]
-log(f"device {dev.device_kind} B={B}")
-y = jax.device_put(jnp.asarray(rng.normal(size=(B, L)).astype(np.float32)*0.1), dev)
-for block in (256, 512, 1024):
-    fn = cascade(make_down(block))
-    t0=time.perf_counter(); float(fn(y)); comp=time.perf_counter()-t0
-    t0=time.perf_counter()
-    outs=[fn(y) for _ in range(REPS)]
-    for o in outs: float(o)
-    dt=(time.perf_counter()-t0)/REPS
-    log(f"block={block:5d} (N={block//2} lanes): {dt*1e3:7.1f} ms  (compile {comp:.0f}s)")
+def sweep():
+    rng = np.random.default_rng(0)
+    dev = jax.devices()[0]
+    log(f"device {dev.device_kind} B={B}")
+    y = jax.device_put(jnp.asarray(rng.normal(size=(B, L)).astype(np.float32)*0.1), dev)
+    for block in (256, 512, 1024):
+        fn = cascade(make_down(block))
+        t0=time.perf_counter(); float(fn(y)); comp=time.perf_counter()-t0
+        t0=time.perf_counter()
+        outs=[fn(y) for _ in range(REPS)]
+        for o in outs: float(o)
+        dt=(time.perf_counter()-t0)/REPS
+        log(f"block={block:5d} (N={block//2} lanes): {dt*1e3:7.1f} ms  (compile {comp:.0f}s)")
 
 
 def make_down_split(block, pad_tail):
@@ -106,4 +107,7 @@ def _extra():
         dt=(time.perf_counter()-t0)/REPS
         log(f"{name:28s}: {dt*1e3:7.1f} ms  (compile {comp:.0f}s)")
 
-_extra()
+
+if __name__ == '__main__':
+    sweep()
+    _extra()
