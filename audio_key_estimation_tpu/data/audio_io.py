@@ -18,6 +18,7 @@ import struct
 import subprocess
 import tempfile
 import time
+from contextlib import nullcontext
 
 import numpy as np
 
@@ -26,14 +27,6 @@ from ..native.binding import load_library
 
 class AudioDecodeError(RuntimeError):
     pass
-
-
-class _null_ctx:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False
 
 
 def _decode_wav_native(path: str):
@@ -145,18 +138,16 @@ def decode_many(paths, workers: int = 8):
     lib = load_library()
     results: dict = {}
     native_paths: dict = {}
-    pool = None
+    pool = lib.akx_pool_create(workers) if lib is not None else None
     py_jobs: dict = {}
     needs_py = [p for p in paths
-                if lib is None or os.path.splitext(p)[1].lower() != ".wav"]
+                if not pool or os.path.splitext(p)[1].lower() != ".wav"]
     # no Python thread pool unless some file actually needs it — idle
     # threads compete with the C++ workers for cores on small hosts
     with futures.ThreadPoolExecutor(
-            max_workers=max(1, min(workers, len(needs_py) or 1))) \
-            if needs_py else _null_ctx() as tpool:
+            max_workers=max(1, min(workers, len(needs_py)))) \
+            if needs_py else nullcontext() as tpool:
         try:
-            if lib is not None:
-                pool = lib.akx_pool_create(workers)
             for i, p in enumerate(paths):
                 if pool and os.path.splitext(p)[1].lower() == ".wav":
                     lib.akx_pool_submit(pool, i, p.encode())

@@ -107,7 +107,6 @@ class KeyDataset:
         with futures.ThreadPoolExecutor(max_workers=8) as pool:
             cached = list(pool.map(self._try_cache, work))
         done = 0
-        misses = []
         for (fn, loader), hit in zip(work, cached):
             if hit is not None:
                 self._finish_item(fn, loader, *hit)

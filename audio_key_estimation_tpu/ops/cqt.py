@@ -189,14 +189,13 @@ def stream_plan(hop: int, octave: int, n_fft: int, n_frames: int):
     return q, stride, offsets, tq
 
 
-def octave_streams(y: jax.Array, plan, n_fft: int) -> jax.Array:
-    """(B, L) octave-rate signal -> (B, q, Tq*stride) stream windows.
-
-    Reflect-pads by n_fft//2 (+1) like librosa's centered frames, then takes
-    q static slices. Zero-extends on the right so every stream has full
-    width; the zero region only feeds frames t >= n_frames, which
-    interleave_streams discards.
-    """
+def _padded_signal(y: jax.Array, plan, n_fft: int):
+    """Reflect-pad by n_fft//2 (+1) like librosa's centered frames, then
+    zero-extend on the right so every stream window is in range (the zero
+    region only feeds frames t >= n_frames, which interleave_streams
+    discards). Shared by the XLA (octave_frames) and Pallas
+    (octave_streams) framing paths so their boundary conventions cannot
+    drift. Returns (ypad, width = Tq*stride)."""
     q, stride, offsets, tq = plan
     half = n_fft // 2
     width = tq * stride
@@ -204,7 +203,14 @@ def octave_streams(y: jax.Array, plan, n_fft: int) -> jax.Array:
     ypad = jnp.pad(y, ((0, 0), (half, half + 1)), mode="reflect")
     if ypad.shape[1] < need:
         ypad = jnp.pad(ypad, ((0, 0), (0, need - ypad.shape[1])))
-    return jnp.stack([ypad[:, c: c + width] for c in offsets], axis=1)
+    return ypad, width
+
+
+def octave_streams(y: jax.Array, plan, n_fft: int) -> jax.Array:
+    """(B, L) octave-rate signal -> (B, q, Tq*stride) stream windows
+    (q static slices of the padded signal)."""
+    ypad, width = _padded_signal(y, plan, n_fft)
+    return jnp.stack([ypad[:, c: c + width] for c in plan[2]], axis=1)
 
 
 def octave_frames(y: jax.Array, plan, n_fft: int) -> jax.Array:
@@ -216,12 +222,7 @@ def octave_frames(y: jax.Array, plan, n_fft: int) -> jax.Array:
     otherwise dominates the front-end's HBM traffic at large batch.
     """
     q, stride, offsets, tq = plan
-    half = n_fft // 2
-    width = tq * stride
-    need = max(offsets) + width
-    ypad = jnp.pad(y, ((0, 0), (half, half + 1)), mode="reflect")
-    if ypad.shape[1] < need:
-        ypad = jnp.pad(ypad, ((0, 0), (0, need - ypad.shape[1])))
+    ypad, width = _padded_signal(y, plan, n_fft)
     b = y.shape[0]
     per = [ypad[:, c: c + width].reshape(b, tq, stride)[:, :, :n_fft]
            for c in offsets]

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import Config
-from .data.audio_io import decode_audio
+from .data.audio_io import decode_many
 from .data.loaders import A_GENRES
 from .models import PitchClassNet
 from .ops.cqt import CQTParams, reference_hop
@@ -193,7 +193,7 @@ class KeyEstimator:
         return self._predict_files(paths, self.predict_waveforms, **kw)
 
     def _predict_files(self, paths, fn, **kw):
-        decoded = [decode_audio(str(p)) for p in paths]
+        decoded = list(decode_many(str(p) for p in paths))
         by_sr = {}
         for i, (w, sr) in enumerate(decoded):
             by_sr.setdefault(sr, []).append((i, w))

@@ -40,6 +40,17 @@ def next_version_dir(log_dir: str) -> str:
 
 
 def version_dir(log_dir: str, version: int) -> str:
+    """Lightning-style run directory; version < 0 selects the latest one."""
+    if version < 0:
+        existing = sorted(
+            (int(d.split("_", 1)[1]) for d in os.listdir(log_dir)
+             if d.startswith("version_") and d.split("_", 1)[1].isdigit()),
+        ) if os.path.isdir(log_dir) else []
+        if not existing:
+            raise FileNotFoundError(
+                f"no version_N runs under {log_dir!r}; pass --version "
+                "or train first")
+        version = existing[-1]
     return os.path.join(log_dir, f"version_{version}")
 
 

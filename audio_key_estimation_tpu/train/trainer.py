@@ -78,11 +78,14 @@ def _forward(model, cfg, params, batch_stats, batch, train, dropout_rng=None):
     return model.apply(variables, *args, False), batch_stats
 
 
-def make_train_step(model, cfg: Config, optimizer):
+def make_train_step(model, cfg: Config, optimizer, seed: int | None = None):
     """Returns jitted train_step(state, batch) -> (state, metrics).
 
-    batch arrays are stacked (acc_grad, micro_bs, ...).
+    batch arrays are stacked (acc_grad, micro_bs, ...). `seed` feeds the
+    per-step dropout rng (defaults to cfg.seed); Trainer passes its fit
+    seed so seed sweeps decorrelate dropout masks too.
     """
+    rng_seed = cfg.seed if seed is None else seed
 
     def loss_fn(params, batch_stats, micro, dropout_rng):
         outputs, new_bs = _forward(model, cfg, params, batch_stats, micro,
@@ -95,7 +98,8 @@ def make_train_step(model, cfg: Config, optimizer):
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch):
         zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
-        base_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.seed), state.step)
+        base_rng = jax.random.fold_in(jax.random.PRNGKey(rng_seed),
+                                      state.step)
 
         def micro_step(carry, xs):
             micro, idx = xs
@@ -240,7 +244,7 @@ class Trainer:
                 if self.use_mesh else None)
         if mesh is not None:
             state = replicate(state, mesh)
-        train_step = make_train_step(model, cfg, optimizer)
+        train_step = make_train_step(model, cfg, optimizer, seed=seed)
         eval_step = make_eval_step(model, cfg)
         self.model, self.eval_step, self.mesh = model, eval_step, mesh
 
