@@ -110,22 +110,73 @@ def _transcode_to_wav(path: str) -> str:
         "the corpus to wav)")
 
 
-def decode_audio(path: str):
-    """(float32 samples of channel 0, sample_rate). wav native; mp3 gated."""
+def _decode_wav_raw(path: str):
+    """PCM16 fast path: (int16 channel-0 samples, sr) with NO sample
+    conversion — header parse + (for mono) a zero-copy buffer view.
+
+    The /32768 normalization runs ON DEVICE inside the CQT graph
+    (ops/cqt.py handles integer inputs), so on a decode-bound host this
+    path is pure I/O: ~6x the bytes/s of float conversion, and the H2D
+    transfer ships half the bytes. Returns None for non-PCM16 encodings
+    (callers fall back to the float32 decoders).
+    """
+    with open(path, "rb") as f:
+        buf = f.read()
+    if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise AudioDecodeError(f"{path}: not a RIFF/WAVE file")
+    pos = 12
+    fmt = channels = bits = rate = 0
+    data = None
+    while pos + 8 <= len(buf):
+        cid = buf[pos:pos + 4]
+        clen = struct.unpack_from("<I", buf, pos + 4)[0]
+        if cid == b"fmt " and clen >= 16:
+            body = buf[pos + 8: pos + 8 + clen]
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt == 0xFFFE and clen >= 40:
+                fmt = struct.unpack_from("<H", body, 24)[0]
+        elif cid == b"data":
+            data = (pos + 8, min(clen, len(buf) - pos - 8))
+        pos += 8 + clen + (clen & 1)
+    if data is None or channels == 0:
+        raise AudioDecodeError(f"{path}: missing fmt/data chunk")
+    if fmt != 1 or bits != 16:
+        return None
+    off, dlen = data
+    x = np.frombuffer(buf, "<i2", count=(dlen // (2 * channels)) * channels,
+                      offset=off)
+    if channels > 1:
+        x = np.ascontiguousarray(x[::channels])
+    return x, rate
+
+
+def decode_audio(path: str, raw: bool = False):
+    """(samples of channel 0, sample_rate). wav native; mp3 gated.
+
+    raw=False: samples are normalized float32 (torchaudio.load semantics,
+    KeyDataset.py:341). raw=True: PCM16 files return int16 samples with the
+    normalization deferred to the device (ops/cqt.py); other encodings
+    still return float32.
+    """
     ext = os.path.splitext(path)[1].lower()
     if ext == ".mp3":
         tmp = _transcode_to_wav(path)
         try:
-            return decode_audio(tmp)
+            return decode_audio(tmp, raw=raw)
         finally:
             os.unlink(tmp)
+    if raw:
+        out = _decode_wav_raw(path)
+        if out is not None:
+            return out
     out = _decode_wav_native(path)
     if out is None:
         out = _decode_wav_numpy(path)
     return out
 
 
-def decode_many(paths, workers: int = 8):
+def decode_many(paths, workers: int = 8, raw: bool = False):
     """Decode files concurrently, yielding (samples, sr) in input order.
 
     WAV files run through the native C++ DecodePool (akx_native.cpp worker
@@ -133,8 +184,19 @@ def decode_many(paths, workers: int = 8):
     and the no-toolchain case fall back to a Python thread pool. This is the
     host side of the async input pipeline replacing the reference's
     ThreadPoolExecutor CQT loop (KeyDataset.py:127-136).
+
+    raw=True skips sample conversion for PCM16 files (int16 results; see
+    decode_audio) — those are pure I/O, so they bypass the C++ pool and run
+    on the Python pool (file reads release the GIL).
     """
     paths = list(paths)
+    if raw:
+        with futures.ThreadPoolExecutor(
+                max_workers=max(1, min(workers, len(paths) or 1))) as tp:
+            futs = [tp.submit(decode_audio, p, raw=True) for p in paths]
+            for f in futs:
+                yield f.result()
+        return
     lib = load_library()
     results: dict = {}
     native_paths: dict = {}
@@ -198,6 +260,29 @@ def decode_many(paths, workers: int = 8):
         finally:
             if pool:
                 lib.akx_pool_destroy(pool)
+
+
+def pack_batch(waves, pad_len: int, n_rows: int | None = None) -> np.ndarray:
+    """Zero-padded (n_rows, pad_len) signal batch for the device front-end.
+
+    Stays int16 when every waveform is raw PCM16 (half the H2D bytes; the
+    CQT graph normalizes on device), otherwise normalized float32 with any
+    int16 members converted host-side.
+    """
+    waves = list(waves)
+    n = n_rows if n_rows is not None else len(waves)
+    if all(w.dtype == np.int16 for w in waves):
+        batch = np.zeros((n, pad_len), np.int16)
+        for i, w in enumerate(waves):
+            batch[i, :len(w)] = w
+        return batch
+    batch = np.zeros((n, pad_len), np.float32)
+    for i, w in enumerate(waves):
+        if w.dtype == np.int16:
+            batch[i, :len(w)] = w.astype(np.float32) / 32768.0
+        else:
+            batch[i, :len(w)] = w
+    return batch
 
 
 def write_wav(path: str, samples: np.ndarray, sr: int) -> None:

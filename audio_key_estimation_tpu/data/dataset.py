@@ -114,11 +114,13 @@ class KeyDataset:
                 if progress and done % 50 == 0:
                     print(f"loaded {done} files", flush=True)
         misses = [wl for wl, hit in zip(work, cached) if hit is None]
-        # stage 2: decode misses (C++ DecodePool when built, see
-        # audio_io.decode_many) overlapping stage 3's batched on-device CQT
+        # stage 2: decode misses (raw PCM16 -> host I/O only, device
+        # normalizes; non-PCM16 through the C++ DecodePool / float path)
+        # overlapping stage 3's batched on-device CQT
         pending = []  # (file, loader, samples, sr)
         for (fn, loader), (samples, sr) in zip(
-                misses, audio_io.decode_many(fn for fn, _ in misses)):
+                misses, audio_io.decode_many((fn for fn, _ in misses),
+                                             raw=True)):
             pending.append((fn, loader, samples, sr))
             if len(pending) >= decode_batch:
                 self._flush_cqt(pending)
@@ -164,9 +166,7 @@ class KeyDataset:
             hop = reference_hop(sr, cfg.frames, cfg.window_size,
                                 max(len(s) for _, _, s in group))
             max_len = max(len(s) for _, _, s in group)
-            batch = np.zeros((len(group), max_len), np.float32)
-            for i, (_, _, s) in enumerate(group):
-                batch[i, :len(s)] = s
+            batch = audio_io.pack_batch((s for _, _, s in group), max_len)
             bpos = [cfg.bins_per_octave]
             if cfg.multi_scale:
                 bpos.append(12)  # second scale: semitone CQT (KeyDataset.py:194-209)

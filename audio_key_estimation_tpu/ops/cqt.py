@@ -139,17 +139,26 @@ def _poly_matrix(num_taps: int, block: int = _POLY_BLOCK) -> np.ndarray:
     return w
 
 
-def downsample2(y: jax.Array, taps: jax.Array) -> jax.Array:
+def downsample2(y: jax.Array, taps: jax.Array, *,
+                out_scale: float = 1.0) -> jax.Array:
     """Halve the sample rate: half-band FIR + decimate, (B, L) -> (B, ceil(L/2)).
 
     Identical output (up to f32 summation order) to the direct strided
     conv; evaluated as a polyphase block matmul so the MXU executes it.
+
+    Integer input (raw PCM16 ingestion) stays integer through the pad /
+    reshape / concat staging — half the HBM traffic — and is converted
+    inside the matmul read; `out_scale` (the PCM normalization) is folded
+    into the constant polyphase matrix, so the output is normalized float32.
     """
     n_taps = taps.shape[0]
     pad = n_taps // 2
     block = _POLY_BLOCK
     out_block = block // 2
+    integer_in = jnp.issubdtype(y.dtype, jnp.integer)
     w = jnp.asarray(_poly_matrix(n_taps, block))
+    if out_scale != 1.0:
+        w = w * out_scale
     b, L = y.shape
     nb = -(-L // block)
     out_len = (L - 1) // 2 + 1
@@ -157,9 +166,11 @@ def downsample2(y: jax.Array, taps: jax.Array) -> jax.Array:
     a = yp[:, : nb * block].reshape(b, nb, block)
     tail = yp[:, block: block + nb * block].reshape(b, nb, block)[..., : 2 * pad]
     window = jnp.concatenate([a, tail], axis=-1)       # (b, nb, block+2*pad)
-    out = jnp.einsum("bnw,wm->bnm", window, w.astype(y.dtype),
+    if integer_in:
+        window = window.astype(jnp.float32)
+    out = jnp.einsum("bnw,wm->bnm", window, w.astype(window.dtype),
                      preferred_element_type=jnp.float32)
-    return out.reshape(b, nb * out_block)[:, :out_len].astype(y.dtype)
+    return out.reshape(b, nb * out_block)[:, :out_len].astype(window.dtype)
 
 
 def stream_plan(hop: int, octave: int, n_fft: int, n_frames: int):
@@ -251,6 +262,14 @@ def cqt(y: jax.Array, p: CQTParams, *, log1p: bool = True) -> jax.Array:
     rounded to the nearest sample at that rate. Each octave's response is
     frames @ [cos|sin] bank -> magnitude -> sqrt-length scale; frames come
     from the stream-reshape plan (no gather) whenever stride >= n_fft.
+
+    Integer input is raw PCM (the host-I/O-only decode path,
+    data/audio_io.py::decode_audio(raw=True)): the signal stays int16
+    through the top octave's pad/frame staging (half the HBM traffic, half
+    the H2D transfer) and the 1/32768 normalization folds into the existing
+    per-octave scale multiply and the first downsample's constant matrix —
+    outputs are bit-comparable to feeding pre-normalized float32 (the fold
+    only reassociates a scalar multiply; tests pin <1e-5 relative).
     """
     if y.ndim == 1:
         y = y[None]
@@ -260,18 +279,26 @@ def cqt(y: jax.Array, p: CQTParams, *, log1p: bool = True) -> jax.Array:
     n_fft = bank["n_fft"]
     bpo = p.bins_per_octave
     taps = jnp.asarray(halfband_taps())
+    in_scale = 1.0
+    if jnp.issubdtype(y.dtype, jnp.integer):
+        if y.dtype != jnp.int16:
+            raise ValueError(f"raw PCM input must be int16, got {y.dtype}")
+        in_scale = 1.0 / 32768.0
 
     n_frames = 1 + y.shape[1] // p.hop
 
     octs = []
-    cur = y.astype(jnp.float32)
+    cur = y if in_scale != 1.0 else y.astype(jnp.float32)
     for o in range(p.octaves):
         if o > 0:
-            cur = downsample2(cur, taps)
+            # after the first downsample `cur` is normalized float32
+            cur = downsample2(cur, taps,
+                              out_scale=in_scale if o == 1 else 1.0)
+        oct_scale = in_scale if o == 0 else 1.0
         plan = stream_plan(p.hop, o, n_fft, n_frames)
         if plan is not None:
             frames = octave_frames(cur, plan, n_fft)
-            r = jnp.einsum("bqtn,nk->bqtk", frames, kmat,
+            r = jnp.einsum("bqtn,nk->bqtk", frames.astype(jnp.float32), kmat,
                            preferred_element_type=jnp.float32)
             mag = jnp.sqrt(r[..., :bpo] ** 2 + r[..., bpo:] ** 2)
             resp = interleave_streams(mag, plan, n_frames)     # (B, T, bpo)
@@ -279,12 +306,13 @@ def cqt(y: jax.Array, p: CQTParams, *, log1p: bool = True) -> jax.Array:
             t_idx = jnp.arange(n_frames, dtype=jnp.float32)
             centers = jnp.round(t_idx * (p.hop / (2 ** o))).astype(jnp.int32)
             frames = _gather_frames(cur, centers, n_fft)
-            r = jnp.einsum("btn,nk->btk", frames, kmat,
+            r = jnp.einsum("btn,nk->btk", frames.astype(jnp.float32), kmat,
                            preferred_element_type=jnp.float32)
             resp = jnp.sqrt(r[..., :bpo] ** 2 + r[..., bpo:] ** 2)
         # scale=True uses the full-rate kernel length: L_fullrate = L * 2**o,
         # so each octave down gains sqrt(2) (librosa's downsample compensation)
-        octs.append(resp * scales[None, None, :] * (2.0 ** (o / 2)))
+        octs.append(resp * (scales[None, None, :]
+                            * (oct_scale * 2.0 ** (o / 2))))
     # octave o analyzes bins [n_bins - (o+1)*bpo : n_bins - o*bpo]
     out = jnp.concatenate(list(reversed(octs)), axis=-1)       # (B, T, n_bins)
     out = jnp.transpose(out, (0, 2, 1))                        # (B, n_bins, T)

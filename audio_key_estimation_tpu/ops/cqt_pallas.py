@@ -104,6 +104,10 @@ def cqt_pallas(y: jax.Array, p: CQTParams, *,
 
     if y.ndim == 1:
         y = y[None]
+    if jnp.issubdtype(y.dtype, jnp.integer):
+        # raw PCM16 ingestion (see ops/cqt.py): normalize at entry — the
+        # fused kernel's VMEM tiling assumes float streams
+        y = y.astype(jnp.float32) * (1.0 / 32768.0)
     bank = kernel_bank(p)
     n_fft = bank["n_fft"]
     kmat = jnp.asarray(np.concatenate([bank["k_cos"], bank["k_sin"]], axis=1))

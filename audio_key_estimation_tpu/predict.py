@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import Config
+from .data import audio_io
 from .data.audio_io import decode_many
 from .data.loaders import A_GENRES
 from .models import PitchClassNet
@@ -150,10 +151,11 @@ class KeyEstimator:
         secs = max(len(w) for w in waveforms) / sr
         pad_len = int(self._bucket_len(secs) * sr)
         n_pad = self._mesh_pad(len(waveforms))
-        batch = np.zeros((n_pad, pad_len), np.float32)
+        # int16 when every waveform is raw PCM16 (half the H2D bytes;
+        # normalization runs inside the CQT graph), else float32
+        batch = audio_io.pack_batch(waveforms, pad_len, n_rows=n_pad)
         seq = np.ones(n_pad, np.int32)  # mesh-pad rows: 1 valid frame
         for i, w in enumerate(waveforms):
-            batch[i, :len(w)] = w
             seq[i] = 1 + len(w) // hop
         batch_j, seq_j = jnp.asarray(batch), jnp.asarray(seq)
         if self.mesh is not None:
@@ -193,7 +195,7 @@ class KeyEstimator:
         return self._predict_files(paths, self.predict_waveforms, **kw)
 
     def _predict_files(self, paths, fn, **kw):
-        decoded = list(decode_many(str(p) for p in paths))
+        decoded = list(decode_many((str(p) for p in paths), raw=True))
         by_sr = {}
         for i, (w, sr) in enumerate(decoded):
             by_sr.setdefault(sr, []).append((i, w))

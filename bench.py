@@ -6,14 +6,17 @@ Prints ONE JSON line:
 
 Workload: 16 two-minute 22.05 kHz songs (deterministic tones+noise) written
 as REAL WAV FILES and decoded through the production path
-(audio_io.decode_many -> C++ DecodePool), replicated with gain/noise
-variation to ONE monolithic 256-clip batch through the jitted 8-octave
-36-bin log-CQT + flagship PitchClassNet (reference train_model.py
-defaults). The monolithic batch matters: v5e throughput on this model is
-per-tile-overhead-bound at small batch (PERFNOTES.md) — 256 clips at once
-is 3.5x faster than 8 scanned chunks of 16. Stage times (decode / cqt /
-model / fused pipeline) are reported per audio-minute; both front-ends
-(XLA and fused Pallas) are timed and the margin printed.
+(audio_io.decode_many(raw=True) -> raw PCM16, host does I/O only; the
+/32768 normalization runs inside the CQT graph), replicated with
+deterministic on-device gain/noise variation to ONE monolithic 256-clip
+int16 batch through the jitted 8-octave 36-bin log-CQT + flagship
+PitchClassNet (reference train_model.py defaults). The monolithic batch
+matters: v5e throughput on this model is per-tile-overhead-bound at small
+batch (PERFNOTES.md) — 256 clips at once is 3.5x faster than 8 scanned
+chunks of 16. Stage times (decode / cqt / model / fused pipeline) are
+reported per audio-minute. The fused Pallas front-end is timed only with
+AKX_BENCH_PALLAS=1 (it is documented slower than the XLA path —
+PERFNOTES.md — and its 2-minute compile would dominate driver runs).
 
 `value` is the fused device pipeline (CQT+model) on the best front-end —
 the driver-tracked headline. `vs_baseline` divides by the SAME JAX pipeline
@@ -143,26 +146,20 @@ def main():
     stages = {}
     with tempfile.TemporaryDirectory() as td:
         paths = make_corpus(td)
-        list(audio_io.decode_many(paths[:2]))  # warm page cache + pool
+        list(audio_io.decode_many(paths[:2], raw=True))  # warm page cache
         best_s = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            decoded = list(audio_io.decode_many(paths, workers=8))
+            decoded = list(audio_io.decode_many(paths, workers=8, raw=True))
             best_s = min(best_s, time.perf_counter() - t0)
         decode_s = best_s
         decode_min = BATCH * CLIP_SECONDS / 60.0
         stages["decode_ms_per_audio_min"] = round(decode_s / decode_min * 1e3, 2)
         decode_tp = decode_min / decode_s
-        log(f"decode: {len(paths)} wavs in {decode_s:.2f}s "
+        log(f"decode (raw PCM16): {len(paths)} wavs in {decode_s:.2f}s "
             f"({decode_tp:.1f} audio-min/s host)")
 
-    y0 = np.stack([w[:L] for w, _ in decoded]).astype(np.float32)
-    rng = np.random.default_rng(1)
-    # one monolithic batch: decoded audio + deterministic gain/noise
-    # variations so every clip is distinct real-shaped audio
-    y_host = np.concatenate([y0 * (0.6 + 0.05 * c)
-                             + rng.normal(size=y0.shape).astype(np.float32)
-                             * 0.01 for c in range(REPLICAS)])
+    y0 = np.stack([w[:L] for w, _ in decoded])           # (16, L) int16
     seq_host = np.full((n_clips,), n_frames, np.int32)
 
     mel0 = jnp.zeros((1, cfg.pitches, n_frames, 1), jnp.float32)
@@ -172,11 +169,31 @@ def main():
 
     dev = jax.devices()[0]
     log(f"benchmarking on {dev.device_kind} ({dev.platform})")
-    ys = jax.device_put(jnp.asarray(y_host), dev)
+
+    # one monolithic int16 batch, assembled ON DEVICE (untimed): decoded
+    # audio + deterministic gain/noise variations so every clip is distinct
+    # real-shaped audio arriving in the production input dtype (raw PCM16)
+    def _expand(y0j, key):
+        outs = []
+        for c in range(REPLICAS):
+            key, k = jax.random.split(key)
+            v = (y0j.astype(jnp.float32) * (0.6 + 0.05 * c)
+                 + jax.random.normal(k, y0j.shape, jnp.float32)
+                 * (0.01 * 32768.0))
+            outs.append(jnp.clip(jnp.round(v), -32768, 32767)
+                        .astype(jnp.int16))
+        return jnp.concatenate(outs)
+
+    ys = jax.jit(_expand)(jax.device_put(jnp.asarray(y0), dev),
+                          jax.random.PRNGKey(1))
+    jax.block_until_ready(ys)
     seq = jax.device_put(jnp.asarray(seq_host), dev)
 
     results = {}
-    for kind, front in (("pallas", cqt_pallas), ("xla", cqt)):
+    fronts = [("xla", cqt)]
+    if os.environ.get("AKX_BENCH_PALLAS"):
+        fronts.insert(0, ("pallas", cqt_pallas))
+    for kind, front in fronts:
         if kind == "pallas" and dev.platform != "tpu":
             continue
         try:
@@ -248,7 +265,7 @@ def main():
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             pipe_cpu, _, _ = build(cfg, params, variables, cqt)
-            y1 = jnp.asarray(y_host[:1])
+            y1 = jnp.asarray(y0[:1])  # int16, like the TPU pipeline input
             s1 = jnp.asarray(seq_host[:1])
             dt_cpu, _ = time_fn(pipe_cpu, y1, s1, reps=2)
         cpu_tp = (CLIP_SECONDS / 60.0) / dt_cpu

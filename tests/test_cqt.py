@@ -183,3 +183,33 @@ def test_oracle_rejects_too_short_signal():
     p = CQTParams(sr=22050, hop=4410, bins_per_octave=36, octaves=8)
     with pytest.raises(ValueError):
         oracle_cqt(np.zeros(1000, np.float32), p)
+
+
+def test_cqt_int16_matches_normalized_float(rng):
+    """Raw PCM16 ingestion: int16 input with the on-device folded /32768
+    equals pre-normalized float32 input (stream AND gather framing paths)."""
+    sr = 8000
+    x16 = (rng.uniform(-0.6, 0.6, sr * 2) * 32767).astype(np.int16)
+    xf = x16.astype(np.float32) / 32768.0
+    for hop in (1600, 40):  # 1600: stream plan; 40: gather fallback octaves
+        p = CQTParams(sr=sr, hop=hop, bins_per_octave=12, octaves=3)
+        a = np.asarray(cqt(jnp.asarray(x16[None]), p))
+        b = np.asarray(cqt(jnp.asarray(xf[None]), p))
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_cqt_rejects_non_int16_integers(rng):
+    p = CQTParams(sr=8000, hop=1600, bins_per_octave=12, octaves=2)
+    with np.testing.assert_raises(ValueError):
+        cqt(jnp.zeros((1, 8000), jnp.int32), p)
+
+
+def test_compute_cqt_pallas_accepts_int16(rng):
+    from audio_key_estimation_tpu.ops.frontend import compute_cqt
+    sr = 8000
+    x16 = (rng.uniform(-0.6, 0.6, sr * 2) * 32767).astype(np.int16)
+    xf = x16.astype(np.float32) / 32768.0
+    p = CQTParams(sr=sr, hop=1600, bins_per_octave=12, octaves=3)
+    a = np.asarray(compute_cqt(jnp.asarray(x16[None]), p, use_pallas=True))
+    b = np.asarray(compute_cqt(jnp.asarray(xf[None]), p, use_pallas=True))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)

@@ -262,3 +262,81 @@ def test_dataset_pallas_frontend_matches_xla(tmp_path):
     b = {it["file"]: it["mel"] for it in ds_p.items}
     for k in a:
         np.testing.assert_allclose(a[k], b[k], rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# raw PCM16 ingestion (host I/O only; device normalizes — audio_io raw paths)
+# ---------------------------------------------------------------------------
+
+def test_decode_raw_matches_float_path(tmp_path, rng):
+    x = rng.uniform(-0.8, 0.8, 5000).astype(np.float32)
+    p = str(tmp_path / "raw.wav")
+    audio_io.write_wav(p, x, 22050)
+    y_raw, sr = audio_io.decode_audio(p, raw=True)
+    assert sr == 22050 and y_raw.dtype == np.int16
+    y_f, _ = audio_io.decode_audio(p)
+    np.testing.assert_array_equal(y_raw.astype(np.float32) / 32768.0, y_f)
+
+
+def test_decode_raw_stereo_channel0(tmp_path, rng):
+    import struct
+    left = (rng.uniform(-0.5, 0.5, 700) * 32767).astype("<i2")
+    right = (rng.uniform(-0.5, 0.5, 700) * 32767).astype("<i2")
+    pcm = np.stack([left, right], axis=1).tobytes()
+    p = str(tmp_path / "st.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000,
+                                      8000 * 4, 4, 16))
+        f.write(b"data" + struct.pack("<I", len(pcm)) + pcm)
+    y, sr = audio_io.decode_audio(p, raw=True)
+    assert sr == 8000 and y.dtype == np.int16
+    np.testing.assert_array_equal(y, left)
+
+
+def test_decode_raw_falls_back_to_float_for_non_pcm16(tmp_path, rng):
+    import struct
+    x = rng.uniform(-0.5, 0.5, 300).astype("<f4")
+    pcm = x.tobytes()
+    p = str(tmp_path / "f32.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 8000,
+                                      8000 * 4, 4, 32))
+        f.write(b"data" + struct.pack("<I", len(pcm)) + pcm)
+    y, sr = audio_io.decode_audio(p, raw=True)
+    assert y.dtype == np.float32
+    np.testing.assert_array_equal(y, x)
+
+
+def test_decode_many_raw_order_and_errors(tmp_path, rng):
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"r{i}.wav")
+        audio_io.write_wav(p, rng.uniform(-0.5, 0.5, 400 + 61 * i), 8000)
+        paths.append(p)
+    got = list(audio_io.decode_many(paths, workers=3, raw=True))
+    for p, (y, sr) in zip(paths, got):
+        ref, _ = audio_io.decode_audio(p, raw=True)
+        assert y.dtype == np.int16
+        np.testing.assert_array_equal(y, ref)
+    bad = str(tmp_path / "bad.wav")
+    with open(bad, "wb") as f:
+        f.write(b"nonsense")
+    with pytest.raises(audio_io.AudioDecodeError):
+        list(audio_io.decode_many([paths[0], bad], raw=True))
+
+
+def test_pack_batch_int16_and_mixed(rng):
+    a = (rng.uniform(-0.5, 0.5, 10) * 32767).astype(np.int16)
+    b = (rng.uniform(-0.5, 0.5, 7) * 32767).astype(np.int16)
+    batch = audio_io.pack_batch([a, b], 12)
+    assert batch.dtype == np.int16 and batch.shape == (2, 12)
+    np.testing.assert_array_equal(batch[0, :10], a)
+    assert batch[1, 7:].sum() == 0
+    # mixed: int16 rows are normalized into the float batch
+    c = rng.uniform(-0.5, 0.5, 9).astype(np.float32)
+    batch = audio_io.pack_batch([a, c], 12, n_rows=3)
+    assert batch.dtype == np.float32 and batch.shape == (3, 12)
+    np.testing.assert_allclose(batch[0, :10], a.astype(np.float32) / 32768.0)
+    np.testing.assert_array_equal(batch[1, :9], c)

@@ -155,3 +155,29 @@ def test_predict_cli(tmp_path, capsys):
     res = predict_cli.main(base + ["--local_windows"])
     assert len(res[wav].windows) > 0
     assert "s  " in capsys.readouterr().out
+
+
+def test_predict_raw_pcm16_matches_float_waveforms(tmp_path):
+    """predict_files (raw PCM16 ingestion, device-side normalization) gives
+    the same probabilities as predict_waveforms on host-normalized floats."""
+    cfg = Config(octaves=4, num_layers=2, conv_layers=1, n_filters=2,
+                 kernel_size=3, head_layers=1, genre=True)
+    optimizer = make_optimizer(cfg, 1)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0), optimizer)
+    run_dir = str(tmp_path / "version_0")
+    import os
+    os.makedirs(run_dir)
+    ckpt_lib.save(run_dir, state, cfg)
+
+    p = str(tmp_path / "s.wav")
+    sine_wav(p, 329.6, seconds=3.0)
+    est = KeyEstimator.from_checkpoint(run_dir, bucket_seconds=(4,))
+    from audio_key_estimation_tpu.data import audio_io
+    y_raw, sr = audio_io.decode_audio(p, raw=True)
+    assert y_raw.dtype == np.int16
+    via_files = est.predict_files([p], return_raw=True)[0]
+    via_floats = est.predict_waveforms(
+        [y_raw.astype(np.float32) / 32768.0], sr, return_raw=True)[0]
+    np.testing.assert_allclose(via_files.key_probs, via_floats.key_probs,
+                               rtol=1e-4, atol=1e-5)
+    assert via_files.key == via_floats.key
