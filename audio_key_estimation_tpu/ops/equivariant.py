@@ -46,7 +46,8 @@ def equivariant_pc_conv(x: jax.Array, kernel: jax.Array,
     kernel : (12, kd, Cin, Cout)  — full height; output height is again 12
     returns: (N, 12, T', Cout), T' = T if same_depth_padding else T - kd + 1
 
-    Evaluated as a circulant einsum rather than a height-12 convolution:
+    Evaluated via the circulant expansion rather than a height-12
+    convolution over the wrap-concat input:
 
         out(n,p,t,o) = sum_{q,dt,ci} x(n,q,t+dt,ci) * W[(q-p) % 12, dt,ci,o]
 
@@ -55,23 +56,30 @@ def equivariant_pc_conv(x: jax.Array, kernel: jax.Array,
     which permutes the output rows over the same summands — equivariance
     holds to float roundoff (< 1e-7; the matmul tiling may reassociate the
     reduction). The XLA TPU backend compiles a kernel-height-12 conv in
-    ~60 s and runs it off the MXU; the einsum is one dense matmul
-    (compiles in seconds).
+    ~60 s and runs it off the MXU; the circulant form lowers to a single
+    MXU-friendly op (see below).
     """
     pc = kernel.shape[0]
     kd = kernel.shape[1]
     cin, cout = kernel.shape[2], kernel.shape[3]
     if same_depth_padding:
         x = jnp.pad(x, ((0, 0), (0, 0), (kd // 2, kd // 2), (0, 0)))
-    t_out = x.shape[2] - kd + 1
-    # time im2col, k = (dt, ci) dt-major
-    cols = jnp.concatenate([x[:, :, dt: dt + t_out] for dt in range(kd)],
-                           axis=-1)                      # (N, 12, T', kd*Cin)
+    n, _, t, _ = x.shape
     # circulant expansion: wexp[q, p] = kernel[(q - p) % pc]
     wexp = jnp.stack([jnp.roll(kernel, p, axis=0) for p in range(pc)],
                      axis=1)                             # (q, p, kd, Cin, Cout)
-    wexp = wexp.reshape(pc, pc, kd * cin, cout).astype(x.dtype)
-    y = jnp.einsum("nqtk,qpko->npto", cols, wexp)
+    # fold the pitch-class axis into channels and run ONE standard time-conv:
+    # out(n,p,t,o) = sum_{q,dt,ci} x(n,q,t+dt,ci) * wexp[q,p,dt,ci,o]
+    # as conv over (N, 1, T, pc*Cin) with kernel (1, kd, pc*Cin, pc*Cout).
+    # An explicit time-im2col einsum materializes a kd-times-duplicated cols
+    # tensor in HBM (the model's dominant traffic at large batch); the conv
+    # form streams patches through VMEM instead, and its channel counts
+    # (12*Cin x 12*Cout) are finally MXU-sized.
+    xf = x.transpose(0, 2, 1, 3).reshape(n, 1, t, pc * cin)
+    wf = wexp.transpose(2, 0, 3, 1, 4).reshape(1, kd, pc * cin, pc * cout)
+    y = lax.conv_general_dilated(xf, wf.astype(x.dtype), window_strides=(1, 1),
+                                 padding="VALID", dimension_numbers=_DN)
+    y = y.reshape(n, t - kd + 1, pc, cout).transpose(0, 2, 1, 3)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
