@@ -12,10 +12,12 @@ otherwise a clear error points at pre-converting the corpus.
 from __future__ import annotations
 
 import concurrent.futures as futures
+import mmap
 import os
 import shutil
 import struct
 import subprocess
+import sys
 import tempfile
 import time
 from contextlib import nullcontext
@@ -110,6 +112,40 @@ def _transcode_to_wav(path: str) -> str:
         "the corpus to wav)")
 
 
+def _wav_layout(path: str):
+    """RIFF chunk walk using reads+seeks only (no data-chunk I/O).
+
+    Returns (fmt, channels, bits, rate, data_off, data_len) or raises
+    AudioDecodeError for a non-RIFF file / missing chunks.
+    """
+    with open(path, "rb") as f:
+        head = f.read(12)
+        if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+            raise AudioDecodeError(f"{path}: not a RIFF/WAVE file")
+        size = os.fstat(f.fileno()).st_size
+        fmt = channels = bits = rate = 0
+        data = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid = hdr[:4]
+            clen = struct.unpack("<I", hdr[4:])[0]
+            pos = f.tell()
+            if cid == b"fmt " and clen >= 16:
+                body = f.read(min(clen, 64))
+                fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+                bits = struct.unpack_from("<H", body, 14)[0]
+                if fmt == 0xFFFE and clen >= 40:
+                    fmt = struct.unpack_from("<H", body, 24)[0]
+            elif cid == b"data":
+                data = (pos, min(clen, size - pos))
+            f.seek(pos + clen + (clen & 1))
+        if data is None or channels == 0:
+            raise AudioDecodeError(f"{path}: missing fmt/data chunk")
+        return fmt, channels, bits, rate, data[0], data[1]
+
+
 def _decode_wav_raw(path: str):
     """PCM16 fast path: (int16 channel-0 samples, sr) with NO sample
     conversion — header parse + (for mono) a zero-copy buffer view.
@@ -119,9 +155,22 @@ def _decode_wav_raw(path: str):
     path is pure I/O: ~6x the bytes/s of float conversion, and the H2D
     transfer ships half the bytes. Returns None for non-PCM16 encodings
     (callers fall back to the float32 decoders).
+
+    The file is memory-mapped, not read: a mono PCM16 result is a zero-copy
+    view over the mapping, so the samples are paged in only when a consumer
+    (pack_batch / jnp.asarray) streams them into the batch array — one pass
+    over the bytes total instead of two (read-into-bytes + pack); see the
+    ingest study in PERFNOTES.md. Batch consumers that know the padded
+    length up front should prefer `ingest_batch`, which skips the mapping
+    entirely and reads each data chunk straight into the batch row. The
+    mapping stays valid after the fd closes; numpy keeps it alive via the
+    buffer protocol.
     """
     with open(path, "rb") as f:
-        buf = f.read()
+        try:
+            buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        except (ValueError, OSError):   # empty or unmappable file
+            buf = f.read()
     if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise AudioDecodeError(f"{path}: not a RIFF/WAVE file")
     pos = 12
@@ -283,6 +332,94 @@ def pack_batch(waves, pad_len: int, n_rows: int | None = None) -> np.ndarray:
         else:
             batch[i, :len(w)] = w
     return batch
+
+
+def ingest_batch(paths, pad_len: int, workers: int = 8,
+                 n_rows: int | None = None, out: np.ndarray | None = None):
+    """Decode a batch of audio files STRAIGHT into a zero-padded batch.
+
+    The one-copy host ingest path: when every file is a mono PCM16 WAV
+    (the raw ingestion format), each file's data chunk is ``readinto``-ed
+    directly into its row of the int16 batch — a single page-cache-to-
+    batch kernel copy per file, with the GIL released. On multi-core
+    hosts the copies run on a thread pool; on a single core the pool is
+    pure scheduling overhead, so the loop runs inline. Compared with
+    decode-then-pack (two passes over the bytes, the pack pass serialized
+    on the GIL) this is ~3x at bench geometry on the 1-core bench host
+    (16 x 2-min clips: ~18 ms vs ~54 ms with a reused `out` buffer).
+
+    Pass ``out`` (shape (n_rows, pad_len) int16, C-contiguous) to reuse a
+    batch buffer across calls — steady-state serving amortizes the ~85 MB
+    allocation + first-touch page zeroing, which otherwise costs more
+    than the copies themselves. Rows are fully overwritten up to
+    ``lengths[i]`` and zero-tail-filled after it.
+
+    Any other input (stereo, non-PCM16, mp3, big-endian hosts) falls back
+    to decode_many + pack_batch, which preserves full decode semantics
+    (float32 batch; ``out`` is ignored).
+
+    Returns (batch, lengths, rates): batch is (n_rows, pad_len) int16 on
+    the fast path, lengths[i] the unpadded sample count of row i (trimmed
+    to pad_len), rates[i] its sample rate.
+    """
+    paths = list(paths)
+    layouts = []
+    for p in paths:
+        if os.path.splitext(p)[1].lower() != ".wav":
+            layouts = None
+            break
+        try:
+            lay = _wav_layout(p)
+        except (AudioDecodeError, OSError):
+            layouts = None
+            break
+        if lay[0] != 1 or lay[1] != 1 or lay[2] != 16:
+            layouts = None
+            break
+        layouts.append(lay)
+    if layouts is None or sys.byteorder != "little":
+        decoded = list(decode_many(paths, workers=workers, raw=True))
+        batch = pack_batch((w[:pad_len] for w, _ in decoded), pad_len,
+                           n_rows=n_rows)
+        lengths = np.array([min(len(w), pad_len) for w, _ in decoded],
+                           np.int64)
+        rates = [sr for _, sr in decoded]
+        return batch, lengths, rates
+
+    n = n_rows if n_rows is not None else len(paths)
+    if out is not None:
+        if (out.shape != (n, pad_len) or out.dtype != np.int16
+                or not out.flags.c_contiguous):
+            raise ValueError(
+                f"out must be C-contiguous int16 {(n, pad_len)}, got "
+                f"{out.dtype} {out.shape}")
+        batch = out
+    else:
+        batch = np.empty((n, pad_len), np.int16)
+    for i in range(len(paths), n):
+        batch[i] = 0                    # unused padding rows stay zero
+    lengths = np.array([min(lay[5] // 2, pad_len) for lay in layouts],
+                       np.int64)
+
+    def _fill(i: int) -> None:
+        off = layouts[i][4]
+        m = int(lengths[i])
+        got = 0
+        if m > 0:
+            with open(paths[i], "rb", buffering=0) as f:
+                f.seek(off)
+                got = f.readinto(memoryview(batch[i, :m]).cast("B")) // 2
+        if got < pad_len:               # short read and/or the pad tail
+            batch[i, got:] = 0
+
+    if (os.cpu_count() or 1) > 1 and workers > 1 and len(paths) > 1:
+        with futures.ThreadPoolExecutor(
+                max_workers=min(workers, len(paths))) as tp:
+            list(tp.map(_fill, range(len(paths))))
+    else:
+        for i in range(len(paths)):
+            _fill(i)
+    return batch, lengths, [lay[3] for lay in layouts]
 
 
 def write_wav(path: str, samples: np.ndarray, sr: int) -> None:

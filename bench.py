@@ -146,20 +146,23 @@ def main():
     stages = {}
     with tempfile.TemporaryDirectory() as td:
         paths = make_corpus(td)
-        list(audio_io.decode_many(paths[:2], raw=True))  # warm page cache
+        # host ingest: one-copy readinto straight into a reused int16
+        # batch buffer (audio_io.ingest_batch) — the steady-state serving
+        # regime, where the batch allocation is amortized across steps
+        ingest_buf = np.empty((BATCH, L), np.int16)
+        audio_io.ingest_batch(paths, L, out=ingest_buf)  # warm page cache
         best_s = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
-            decoded = list(audio_io.decode_many(paths, workers=8, raw=True))
+            y0, _, _ = audio_io.ingest_batch(paths, L, out=ingest_buf)
             best_s = min(best_s, time.perf_counter() - t0)
         decode_s = best_s
         decode_min = BATCH * CLIP_SECONDS / 60.0
         stages["decode_ms_per_audio_min"] = round(decode_s / decode_min * 1e3, 2)
         decode_tp = decode_min / decode_s
-        log(f"decode (raw PCM16): {len(paths)} wavs in {decode_s:.2f}s "
-            f"({decode_tp:.1f} audio-min/s host)")
+        log(f"host ingest (raw PCM16 readinto batch): {len(paths)} "
+            f"wavs in {decode_s:.3f}s ({decode_tp:.1f} audio-min/s host)")
 
-    y0 = np.stack([w[:L] for w, _ in decoded])           # (16, L) int16
     seq_host = np.full((n_clips,), n_frames, np.int32)
 
     mel0 = jnp.zeros((1, cfg.pitches, n_frames, 1), jnp.float32)

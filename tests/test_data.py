@@ -226,6 +226,69 @@ def test_decode_many_preserves_order(tmp_path, rng):
         np.testing.assert_array_equal(y, ref_y)
 
 
+def test_ingest_batch_matches_decode_then_pack(tmp_path, rng):
+    """The one-copy readinto path produces the identical batch to
+    decode_many + pack_batch, with true lengths and rates."""
+    paths = []
+    for i in range(5):
+        p = str(tmp_path / f"ib{i}.wav")
+        audio_io.write_wav(p, rng.uniform(-0.5, 0.5, 700 + 211 * i), 8000)
+        paths.append(p)
+    pad = 700 + 211 * 4
+    batch, lens, rates = audio_io.ingest_batch(paths, pad)
+    decoded = list(audio_io.decode_many(paths, raw=True))
+    ref = audio_io.pack_batch((w[:pad] for w, _ in decoded), pad)
+    assert batch.dtype == np.int16
+    np.testing.assert_array_equal(batch, ref)
+    assert [int(x) for x in lens] == [700 + 211 * i for i in range(5)]
+    assert rates == [8000] * 5
+
+
+def test_ingest_batch_reused_out_buffer_and_trim(tmp_path, rng):
+    """`out=` reuse: stale contents are fully overwritten (pad tails
+    re-zeroed), long files trimmed to pad_len, extra rows zero."""
+    paths = []
+    for n in (300, 900):
+        p = str(tmp_path / f"rb{n}.wav")
+        audio_io.write_wav(p, rng.uniform(-0.5, 0.5, n), 8000)
+        paths.append(p)
+    pad = 600
+    out = np.full((3, pad), 7, np.int16)          # stale garbage
+    batch, lens, _ = audio_io.ingest_batch(paths, pad, n_rows=3, out=out)
+    assert batch is out
+    assert [int(x) for x in lens] == [300, 600]
+    assert np.all(batch[0, 300:] == 0)
+    assert np.all(batch[2] == 0)
+    ref0, _ = audio_io.decode_audio(paths[0], raw=True)
+    ref1, _ = audio_io.decode_audio(paths[1], raw=True)
+    np.testing.assert_array_equal(batch[0, :300], ref0)
+    np.testing.assert_array_equal(batch[1], ref1[:pad])
+    with pytest.raises(ValueError):
+        audio_io.ingest_batch(paths, pad, n_rows=3,
+                              out=np.zeros((3, pad), np.float32))
+
+
+def test_ingest_batch_fallback_non_pcm16(tmp_path, rng):
+    """A non-mono/PCM16 member routes the whole batch through the decode
+    fallback (float32 semantics preserved)."""
+    mono = str(tmp_path / "m.wav")
+    audio_io.write_wav(mono, rng.uniform(-0.5, 0.5, 400), 8000)
+    stereo = str(tmp_path / "s.wav")
+    import struct
+    pcm = (rng.uniform(-0.4, 0.4, (200, 2)) * 32767).astype("<i2").tobytes()
+    with open(stereo, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000,
+                                      8000 * 4, 4, 16))
+        f.write(b"data" + struct.pack("<I", len(pcm)) + pcm)
+    batch, lens, rates = audio_io.ingest_batch([mono, stereo], 400)
+    decoded = list(audio_io.decode_many([mono, stereo], raw=True))
+    ref = audio_io.pack_batch((w[:400] for w, _ in decoded), 400)
+    np.testing.assert_array_equal(batch, ref)
+    assert [int(x) for x in lens] == [400, 200]
+    assert rates == [8000, 8000]
+
+
 def test_decode_many_raises_on_bad_file(tmp_path, rng):
     good = str(tmp_path / "ok.wav")
     audio_io.write_wav(good, rng.uniform(-0.5, 0.5, 400), 8000)
