@@ -404,13 +404,19 @@ def ingest_batch(paths, pad_len: int, workers: int = 8,
     def _fill(i: int) -> None:
         off = layouts[i][4]
         m = int(lengths[i])
-        got = 0
+        done = 0
         if m > 0:
             with open(paths[i], "rb", buffering=0) as f:
                 f.seek(off)
-                got = f.readinto(memoryview(batch[i, :m]).cast("B")) // 2
-        if got < pad_len:               # short read and/or the pad tail
-            batch[i, got:] = 0
+                view = memoryview(batch[i, :m]).cast("B")
+                # raw readinto may legally return short; loop to EOF
+                while done < 2 * m:
+                    got = f.readinto(view[done:])
+                    if not got:
+                        break
+                    done += got
+        if done // 2 < pad_len:         # short read and/or the pad tail
+            batch[i, done // 2:] = 0
 
     if (os.cpu_count() or 1) > 1 and workers > 1 and len(paths) > 1:
         with futures.ThreadPoolExecutor(

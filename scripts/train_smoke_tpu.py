@@ -58,7 +58,7 @@ def main():
         state, history = trainer.fit(seed=0)
 
     lines = [
-        "# TPU training smoke (round 2)",
+        "# TPU training smoke",
         "",
         f"Device: **{dev.device_kind}** (`{dev.platform}`)",
         f"Config: flagship geometry (octaves=8, 2 layers, conv_layers=3, "
