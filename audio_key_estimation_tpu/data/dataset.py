@@ -176,7 +176,8 @@ class KeyDataset:
                                    octaves=cfg.octaves)
                 mels_by_bpo[bpo] = np.asarray(
                     compute_cqt(jax.numpy.asarray(batch), params,
-                                use_pallas=cfg.use_pallas_cqt))
+                                use_pallas=cfg.use_pallas_cqt,
+                                conv_dtype=cfg.cqt_conv_dtype))
             for i, (fn, loader, s) in enumerate(group):
                 t = 1 + len(s) // hop
                 mel = mels_by_bpo[bpos[0]][i][:, :t]

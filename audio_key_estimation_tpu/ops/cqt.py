@@ -8,9 +8,14 @@ the hot preprocessing loop) with a batched on-device transform:
   * lower octaves reuse the SAME bank on a progressively halfband-
     downsampled signal (multirate CQT — at half the rate the same kernel
     analyzes half the frequency);
-  * each octave is frames-gather + two real matmuls (cos/sin) -> magnitude
-    -> sqrt-length scaling -> log1p — all MXU/VPU-friendly XLA ops
-    (and a fused Pallas kernel in cqt_pallas.py).
+  * each octave's responses are computed by STRIDED VALID convolutions of
+    the (padded) octave-rate signal with the cos/sin bank — the conv's
+    window walks the stream directly, so no frame matrix ever materializes
+    in HBM (the frames tensor is ~630 MB/octave at the 256-clip bench
+    batch; eliminating it cut the measured CQT step 93.6 -> 81.1 ms, and
+    bf16 operand storage -> 72.2 ms, PERFNOTES.md round-3) — then
+    magnitude -> sqrt-length scaling -> log1p, all MXU/VPU-friendly XLA
+    ops (and a fused Pallas kernel in cqt_pallas.py).
 
 Conventions follow librosa.cqt defaults: fmin = C1, hann window,
 filter_scale 1, L1-normalized kernels, scale=True (output multiplied by
@@ -46,6 +51,9 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
+
+_DN = ("NHWC", "HWIO", "NHWC")
 
 C1_HZ = 32.70319566257483  # librosa note_to_hz('C1')
 
@@ -255,13 +263,30 @@ def _gather_frames(y: jax.Array, centers: jax.Array, n_fft: int) -> jax.Array:
     return ypad[:, idx]                                        # (B, T, n_fft)
 
 
-def cqt(y: jax.Array, p: CQTParams, *, log1p: bool = True) -> jax.Array:
+def cqt(y: jax.Array, p: CQTParams, *, log1p: bool = True,
+        conv_dtype: jnp.dtype = jnp.float32) -> jax.Array:
     """Batched CQT: (B, L) waveforms -> (B, n_bins, T) magnitudes.
 
     T = 1 + L // hop. All octaves share T; lower octaves' frame centers are
     rounded to the nearest sample at that rate. Each octave's response is
-    frames @ [cos|sin] bank -> magnitude -> sqrt-length scale; frames come
-    from the stream-reshape plan (no gather) whenever stride >= n_fft.
+    one strided VALID convolution per stream of the plan (kernel = the
+    [cos|sin] bank, window stride = the plan stride) -> magnitude ->
+    sqrt-length scale. The conv reads the padded stream in place — XLA's
+    TPU conv emitter streams the windows through VMEM — where a
+    frames-matrix + matmul formulation materializes ~630 MB of frames per
+    octave at B=256 (write+read ~10 GB/step of pure overhead traffic;
+    measured 93.6 -> 81.1 ms/step CQT by this change alone, bit-identical
+    output). Whenever stride < n_fft (tiny hops) the gather+einsum
+    fallback below is used instead.
+
+    conv_dtype selects the conv OPERAND storage dtype. bfloat16 halves the
+    response path's HBM traffic (81.1 -> 72.2 ms/step) at < 0.2% relative
+    feature error: the TPU MXU evaluates f32 convolutions by bf16-operand
+    decomposition anyway, so precision loss is confined to the one
+    int16->bf16 top-octave quantization (measured 6e-4 absolute on 0.43
+    peak). Product paths default to bf16 via `Config.cqt_conv_dtype`;
+    numerical tests pin the f32 default against the direct-convolution
+    oracle.
 
     Integer input is raw PCM (the host-I/O-only decode path,
     data/audio_io.py::decode_audio(raw=True)): the signal stays int16
@@ -286,6 +311,7 @@ def cqt(y: jax.Array, p: CQTParams, *, log1p: bool = True) -> jax.Array:
         in_scale = 1.0 / 32768.0
 
     n_frames = 1 + y.shape[1] // p.hop
+    kern = kmat.reshape(1, n_fft, 1, 2 * bpo).astype(conv_dtype)
 
     octs = []
     cur = y if in_scale != 1.0 else y.astype(jnp.float32)
@@ -297,9 +323,19 @@ def cqt(y: jax.Array, p: CQTParams, *, log1p: bool = True) -> jax.Array:
         oct_scale = in_scale if o == 0 else 1.0
         plan = stream_plan(p.hop, o, n_fft, n_frames)
         if plan is not None:
-            frames = octave_frames(cur, plan, n_fft)
-            r = jnp.einsum("bqtn,nk->bqtk", frames.astype(jnp.float32), kmat,
-                           preferred_element_type=jnp.float32)
+            q, stride, offsets, tq = plan
+            ypad, _ = _padded_signal(cur, plan, n_fft)
+            # stream r's frame j covers [offset_r + j*stride, ... + n_fft);
+            # stride >= n_fft guarantees ypad covers need (need <= width)
+            need = (tq - 1) * stride + n_fft
+            rs = []
+            for c in offsets:
+                xi = ypad[:, c: c + need].astype(conv_dtype)[:, None, :, None]
+                rr = lax.conv_general_dilated(
+                    xi, kern, (1, stride), "VALID", dimension_numbers=_DN,
+                    preferred_element_type=jnp.float32)
+                rs.append(rr[:, 0])                        # (B, tq, 2bpo)
+            r = jnp.stack(rs, axis=1)                      # (B, q, tq, 2bpo)
             mag = jnp.sqrt(r[..., :bpo] ** 2 + r[..., bpo:] ** 2)
             resp = interleave_streams(mag, plan, n_frames)     # (B, T, bpo)
         else:

@@ -173,7 +173,8 @@ class KeyEstimator:
                            bins_per_octave=cfg.bins_per_octave,
                            octaves=cfg.octaves)
         mel = compute_cqt(batch, params,
-                          use_pallas=cfg.use_pallas_cqt)[:, :, :, None]
+                          use_pallas=cfg.use_pallas_cqt,
+                          conv_dtype=cfg.cqt_conv_dtype)[:, :, :, None]
         out = self._apply(mel, seq)
         key = np.asarray(out[0])
         tonic = np.asarray(out[1])
@@ -227,7 +228,8 @@ class KeyEstimator:
                            bins_per_octave=cfg.bins_per_octave,
                            octaves=cfg.octaves)
         mel = compute_cqt(batch, params,
-                          use_pallas=cfg.use_pallas_cqt)[:, :, :, None]
+                          use_pallas=cfg.use_pallas_cqt,
+                          conv_dtype=cfg.cqt_conv_dtype)[:, :, :, None]
         out = self._apply_local(mel, seq_j)
         key = np.asarray(out[0])                     # (N, T', 12)
         tonic = np.asarray(out[1])

@@ -193,7 +193,8 @@ def main():
     seq = jax.device_put(jnp.asarray(seq_host), dev)
 
     results = {}
-    fronts = [("xla", cqt)]
+    conv_dtype = jnp.dtype(cfg.cqt_conv_dtype)
+    fronts = [("xla", lambda y, p: cqt(y, p, conv_dtype=conv_dtype))]
     if os.environ.get("AKX_BENCH_PALLAS"):
         fronts.insert(0, ("pallas", cqt_pallas))
     for kind, front in fronts:
@@ -267,12 +268,14 @@ def main():
     try:
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
+            # f32 conv operands on CPU: native dtype there, so this is the
+            # baseline's BEST case (conservative for the reported ratio)
             pipe_cpu, _, _ = build(cfg, params, variables, cqt)
             y1 = jnp.asarray(y0[:1])  # int16, like the TPU pipeline input
             s1 = jnp.asarray(seq_host[:1])
             dt_cpu, _ = time_fn(pipe_cpu, y1, s1, reps=2)
         cpu_tp = (CLIP_SECONDS / 60.0) / dt_cpu
-        log(f"cpu baseline (same JAX pipeline, 1 clip, 1 host CPU): "
+        log(f"cpu baseline (same JAX pipeline, f32, 1 clip, 1 host CPU): "
             f"{dt_cpu * 1e3:.0f} ms/clip -> {cpu_tp:.2f} audio-min/s")
         ratio = tpu_throughput / cpu_tp
     except Exception as e:

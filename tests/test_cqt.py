@@ -198,6 +198,20 @@ def test_cqt_int16_matches_normalized_float(rng):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
 
+def test_cqt_bf16_conv_operands_close_to_f32(rng):
+    """The product default (Config.cqt_conv_dtype=bfloat16: conv operand
+    storage halves front-end HBM traffic) stays within ~0.2% relative of
+    the oracle-pinned f32 path on both int16 and float inputs."""
+    sr = 8000
+    x16 = (rng.uniform(-0.6, 0.6, sr * 2) * 32767).astype(np.int16)
+    for x in (x16, x16.astype(np.float32) / 32768.0):
+        p = CQTParams(sr=sr, hop=1600, bins_per_octave=12, octaves=3)
+        a = np.asarray(cqt(jnp.asarray(x[None]), p))
+        b = np.asarray(cqt(jnp.asarray(x[None]), p,
+                           conv_dtype=jnp.bfloat16))
+        assert np.abs(a - b).max() <= 2e-3 * np.abs(a).max()
+
+
 def test_cqt_rejects_non_int16_integers(rng):
     p = CQTParams(sr=8000, hop=1600, bins_per_octave=12, octaves=2)
     with np.testing.assert_raises(ValueError):
