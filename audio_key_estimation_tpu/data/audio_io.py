@@ -166,33 +166,14 @@ def _decode_wav_raw(path: str):
     mapping stays valid after the fd closes; numpy keeps it alive via the
     buffer protocol.
     """
+    fmt, channels, bits, rate, off, dlen = _wav_layout(path)
+    if fmt != 1 or bits != 16:
+        return None
     with open(path, "rb") as f:
         try:
             buf = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
         except (ValueError, OSError):   # empty or unmappable file
             buf = f.read()
-    if len(buf) < 44 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-        raise AudioDecodeError(f"{path}: not a RIFF/WAVE file")
-    pos = 12
-    fmt = channels = bits = rate = 0
-    data = None
-    while pos + 8 <= len(buf):
-        cid = buf[pos:pos + 4]
-        clen = struct.unpack_from("<I", buf, pos + 4)[0]
-        if cid == b"fmt " and clen >= 16:
-            body = buf[pos + 8: pos + 8 + clen]
-            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
-            bits = struct.unpack_from("<H", body, 14)[0]
-            if fmt == 0xFFFE and clen >= 40:
-                fmt = struct.unpack_from("<H", body, 24)[0]
-        elif cid == b"data":
-            data = (pos + 8, min(clen, len(buf) - pos - 8))
-        pos += 8 + clen + (clen & 1)
-    if data is None or channels == 0:
-        raise AudioDecodeError(f"{path}: missing fmt/data chunk")
-    if fmt != 1 or bits != 16:
-        return None
-    off, dlen = data
     x = np.frombuffer(buf, "<i2", count=(dlen // (2 * channels)) * channels,
                       offset=off)
     if channels > 1:

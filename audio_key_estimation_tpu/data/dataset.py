@@ -34,8 +34,20 @@ from .loaders import DatasetLoader
 
 
 def cache_path(file_path: str, cfg: Config, bins_per_octave: int) -> str:
+    """Feature-cache sidecar path, keyed by every knob that changes the
+    computed features (reference caches by octaves/frames variant only,
+    KeyDataset.py:153-209). The front-end implementation knobs are part of
+    the key: features from the bf16-operand or Pallas paths must not be
+    silently reused by an oracle-pinned f32 run (or vice versa)."""
     stem = os.path.splitext(file_path)[0]
-    return f"{stem}.akx_{cfg.octaves}oct_{cfg.frames}f_{bins_per_octave}bpo.npz"
+    fe = ""
+    if cfg.cqt_conv_dtype != "float32":
+        fe += "_bf16cq" if cfg.cqt_conv_dtype == "bfloat16" \
+            else f"_{cfg.cqt_conv_dtype}cq"
+    if cfg.use_pallas_cqt:
+        fe += "_pallas"
+    return (f"{stem}.akx_{cfg.octaves}oct_{cfg.frames}f_"
+            f"{bins_per_octave}bpo{fe}.npz")
 
 
 # Known-bad (too short) training files, matched by basename against every

@@ -128,23 +128,30 @@ def halfband_taps(num_taps: int = 49) -> np.ndarray:
 _POLY_BLOCK = 256  # input samples per polyphase block (128 outputs)
 
 
-@functools.lru_cache(maxsize=4)
-def _poly_matrix(num_taps: int, block: int = _POLY_BLOCK) -> np.ndarray:
-    """Polyphase decimation-by-2 as one dense matmul operand.
-
-    W[(j, m)] = taps[j - 2m]: an input window of `block + 2*(taps//2)`
-    samples times W yields `block//2` consecutive decimated outputs. A
-    1-channel FIR conv cannot use the MXU at all (C_in = C_out = 1); this
-    block-matmul form runs the same filter 5x faster on TPU v5e
-    (scripts/microbench_frontend.py).
-    """
-    taps = halfband_taps(num_taps)
+@functools.lru_cache(maxsize=8)
+def _poly_matrix_cached(taps_bytes: bytes, num_taps: int,
+                        block: int) -> np.ndarray:
+    taps = np.frombuffer(taps_bytes, np.float32)
     pad = num_taps // 2
     out_block = block // 2
     w = np.zeros((block + 2 * pad, out_block), np.float32)
     for m in range(out_block):
         w[2 * m: 2 * m + num_taps, m] = taps
     return w
+
+
+def _poly_matrix(taps=None, block: int = _POLY_BLOCK) -> np.ndarray:
+    """Polyphase decimation-by-2 as one dense matmul operand.
+
+    W[(j, m)] = taps[j - 2m]: an input window of `block + 2*(taps//2)`
+    samples times W yields `block//2` consecutive decimated outputs. A
+    1-channel FIR conv cannot use the MXU at all (C_in = C_out = 1); this
+    block-matmul form runs the same filter 5x faster on TPU v5e
+    (scripts/microbench_frontend.py). Built from the GIVEN taps (host
+    values; default half-band), cached by tap values.
+    """
+    taps = halfband_taps() if taps is None else np.asarray(taps, np.float32)
+    return _poly_matrix_cached(taps.tobytes(), len(taps), block)
 
 
 def downsample2(y: jax.Array, taps: jax.Array, *,
@@ -158,13 +165,17 @@ def downsample2(y: jax.Array, taps: jax.Array, *,
     reshape / concat staging — half the HBM traffic — and is converted
     inside the matmul read; `out_scale` (the PCM normalization) is folded
     into the constant polyphase matrix, so the output is normalized float32.
+
+    `taps` must hold concrete host values (it parameterizes the constant
+    polyphase matrix); a jnp array of constants is accepted, a traced
+    value raises.
     """
     n_taps = taps.shape[0]
     pad = n_taps // 2
     block = _POLY_BLOCK
     out_block = block // 2
     integer_in = jnp.issubdtype(y.dtype, jnp.integer)
-    w = jnp.asarray(_poly_matrix(n_taps, block))
+    w = jnp.asarray(_poly_matrix(np.asarray(taps), block))
     if out_scale != 1.0:
         w = w * out_scale
     b, L = y.shape

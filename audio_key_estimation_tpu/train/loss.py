@@ -99,7 +99,14 @@ def compute_loss(cfg: Config, outputs, batch):
                           * jnp.linalg.norm(key_labels, axis=-1), 1e-8)
         cos = num / den
         if cfg.local:
-            cos = cos.mean(-1)
+            # per-window cosine over the 12 key dims, averaged over each
+            # sample's VALID windows (same mask as bce/tonic above).
+            # Documented divergence: the reference's local use_cos
+            # (models.py:887,898) applies CosineSimilarity(dim=1) — the
+            # TIME axis, a shape bug carried over from the global branch —
+            # and averages over padded windows; this is the intended
+            # masked per-window semantics instead.
+            cos = jnp.where(mask, cos, 0).sum(-1) / denom
         loss = loss + (1 - jnp.mean(cos))
         aux["cos_sim"] = jnp.mean(cos)
 

@@ -188,9 +188,14 @@ def evaluate(eval_step, state, dataset, batch_size: int,
              mesh=None) -> Dict[str, float]:
     """Masked aggregation over a dataset (repeat-padded batches excluded).
 
-    Device results stay on device until every batch is dispatched (no
+    Device results stay on device while batches are dispatched (no
     per-batch host sync); the masked reduction happens once at the end.
+    A sliding sync bounds the in-flight window to MAX_INFLIGHT batches so
+    a large validation set cannot queue its entire input stream in device
+    memory at once (executions serialize behind the transfers, so without
+    the bound HBM use grows with the dataset, not the batch).
     """
+    MAX_INFLIGHT = 4
     pending = []  # (valid_mask, loss_dev, per_sample_dev)
     for batch in dataset.batches(batch_size):
         valid = batch.pop("valid")
@@ -198,6 +203,12 @@ def evaluate(eval_step, state, dataset, batch_size: int,
             batch = shard_batch(batch, mesh)
         loss, per_sample = eval_step(state, batch)
         pending.append((np.asarray(valid), loss, per_sample))
+        if len(pending) >= MAX_INFLIGHT:
+            # block on the oldest in-flight loss only: keeps the pipeline
+            # MAX_INFLIGHT deep without serializing every step. A scalar
+            # fetch, not block_until_ready — the relay backend returns
+            # from block_until_ready before remote execution finishes.
+            float(pending[-MAX_INFLIGHT][1])
     sums: Dict[str, float] = {}
     losses, n_samples = [], 0
     genre_hits = genre_cnt = 0.0
