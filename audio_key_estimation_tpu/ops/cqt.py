@@ -314,7 +314,7 @@ def cqt(y: jax.Array, p: CQTParams, *, log1p: bool = True,
     scales = jnp.asarray(bank["scales"])
     n_fft = bank["n_fft"]
     bpo = p.bins_per_octave
-    taps = jnp.asarray(halfband_taps())
+    taps = halfband_taps()   # host values: they build the polyphase matrix
     in_scale = 1.0
     if jnp.issubdtype(y.dtype, jnp.integer):
         if y.dtype != jnp.int16:

@@ -111,7 +111,7 @@ def cqt_pallas(y: jax.Array, p: CQTParams, *,
     bank = kernel_bank(p)
     n_fft = bank["n_fft"]
     kmat = jnp.asarray(np.concatenate([bank["k_cos"], bank["k_sin"]], axis=1))
-    taps = jnp.asarray(halfband_taps())
+    taps = halfband_taps()   # host values: they build the polyphase matrix
     n_frames = 1 + y.shape[1] // p.hop
 
     plans = [stream_plan(p.hop, o, n_fft, n_frames) for o in range(p.octaves)]

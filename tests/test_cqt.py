@@ -198,6 +198,19 @@ def test_cqt_int16_matches_normalized_float(rng):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
 
+def test_cqt_under_jit_matches_eager(rng):
+    """cqt must trace cleanly under jax.jit (the product path always jits
+    it; host-side constants like the polyphase taps must not leak into the
+    trace as tracers) and match the eager result."""
+    import jax
+    sr = 8000
+    x = (rng.uniform(-0.6, 0.6, sr * 2) * 32767).astype(np.int16)
+    p = CQTParams(sr=sr, hop=1600, bins_per_octave=12, octaves=3)
+    a = np.asarray(cqt(jnp.asarray(x[None]), p))
+    b = np.asarray(jax.jit(lambda v: cqt(v, p))(jnp.asarray(x[None])))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
 def test_cqt_bf16_conv_operands_close_to_f32(rng):
     """The product default (Config.cqt_conv_dtype=bfloat16: conv operand
     storage halves front-end HBM traffic) stays within ~0.2% relative of
