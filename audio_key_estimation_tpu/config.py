@@ -6,6 +6,14 @@ equivariance_test.py:20-94). Here a single frozen dataclass is the source of
 truth; it is serialized into checkpoints so that eval can never silently
 mismatch the training architecture (fixes the manual caveat at reference
 README.md:150).
+
+Every reference flag is carried except `--gpu` (a CUDA_VISIBLE_DEVICES
+selector, train_model.py:86 — meaningless here; device placement is the
+jax runtime's job and multi-device use goes through `mesh_shape`). Extra
+fields beyond the reference are the TPU-native capabilities: mesh_shape/
+mesh_axes (DP over ICI), dtype (bf16 compute), remat, bucket_sizes,
+use_pallas_cqt, cqt_conv_dtype, early_stop_patience, seed, data_root,
+log_dir.
 """
 
 from __future__ import annotations
