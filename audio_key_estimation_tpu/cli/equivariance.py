@@ -53,7 +53,7 @@ def shift_and_stack(cfg, mel: np.ndarray, seed: int = 0) -> np.ndarray:
     rows = []
     for s in list(range(12, 0, -1)) + [0] + list(range(-1, -13, -1)):
         shifted = jnp.asarray(shift_rows(mel, s)[None, :, :, None])
-        key, _ = model.apply(variables, shifted, None, False)
+        key = model.apply(variables, shifted, None, False)[0]
         rows.append(np.asarray(key)[0])
     return np.stack(rows)  # (25, 12), row 0 = +12 ... row 24 = -12
 

@@ -17,7 +17,8 @@ import os
 import jax
 import jax.numpy as jnp
 
-from ..config import Config, add_config_args, config_from_args
+from ..config import (Config, add_config_args, config_from_args,
+                      merge_eval_config)
 from ..models import PitchClassNet
 from ..models.torch_port import state_dict_to_variables
 from ..train import checkpoints as ckpt_lib
@@ -39,10 +40,15 @@ def load_state(cfg: Config, args):
     run_dir = ckpt_lib.version_dir(
         os.path.join(cfg.log_dir, "lightning_logs"), args.version)
     tree, saved_cfg = ckpt_lib.load(run_dir)
-    if saved_cfg is not None and saved_cfg != cfg:
-        cfg = saved_cfg  # checkpoint's architecture wins
-        optimizer = make_optimizer(cfg, 1)
-        model, state = create_train_state(cfg, jax.random.PRNGKey(0), optimizer)
+    if saved_cfg is not None:
+        # checkpoint wins for model-defining fields, the command line for
+        # runtime fields (data_root, batch_size, no_test, ...)
+        merged = merge_eval_config(cfg, saved_cfg)
+        if merged != cfg:
+            cfg = merged
+            optimizer = make_optimizer(cfg, 1)
+            model, state = create_train_state(cfg, jax.random.PRNGKey(0),
+                                              optimizer)
     state = state.replace(params=tree["params"],
                           batch_stats=tree["batch_stats"])
     return cfg, model, state

@@ -128,6 +128,29 @@ class Config:
         return cls(**kw)
 
 
+# Fields that belong to the RUN, not to the trained model: when evaluating
+# a checkpoint these always come from the command line, while every
+# architecture / feature / loss field comes from the checkpoint's saved
+# config (so eval can never silently mismatch the weights).
+RUNTIME_FIELDS = frozenset({
+    "data_root", "log_dir", "batch_size", "no_test", "debug",
+    "bucket_sizes", "mesh_shape", "mesh_axes", "use_pallas_cqt",
+    "cqt_conv_dtype", "dtype", "remat", "no_ckpt", "epochs",
+    "early_stop_patience", "seed",
+})
+
+
+def merge_eval_config(cli_cfg: "Config", saved_cfg: "Config") -> "Config":
+    """Checkpoint config wins for model-defining fields; CLI wins for
+    runtime fields (fixes silently resurrecting the training run's
+    data_root/log_dir/debug flags at eval time)."""
+    kw = {f.name: getattr(saved_cfg, f.name)
+          for f in dataclasses.fields(Config)}
+    for name in RUNTIME_FIELDS:
+        kw[name] = getattr(cli_cfg, name)
+    return Config(**kw)
+
+
 def add_config_args(parser) -> None:
     """Expose every Config field as a --flag on an argparse parser."""
     for f in dataclasses.fields(Config):
@@ -135,8 +158,14 @@ def add_config_args(parser) -> None:
         if f.type == "bool" or isinstance(f.default, bool):
             parser.add_argument(name, action="store_true", default=f.default)
         elif isinstance(f.default, tuple):
-            parser.add_argument(name, type=lambda s: tuple(int(x) for x in s.split(",")),
-                                default=f.default)
+            # element type from the default when non-empty (mesh_axes is a
+            # tuple of strings), int for empty tuples (mesh_shape)
+            elem = (type(f.default[0]) if f.default else int)
+            parser.add_argument(
+                name,
+                type=lambda s, e=elem: tuple(e(x) for x in s.split(","))
+                if s else (),
+                default=f.default)
         else:
             parser.add_argument(name, type=type(f.default), default=f.default)
 

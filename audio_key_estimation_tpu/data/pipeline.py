@@ -16,26 +16,47 @@ _SENTINEL = object()
 
 
 def prefetch(iterable: Iterable, size: int = 2) -> Iterator:
-    """Yield items from `iterable`, produced ahead of time on a thread."""
+    """Yield items from `iterable`, produced ahead of time on a thread.
+
+    The producer's puts time out against a stop flag, so an abandoned
+    generator (consumer raised out of its for-loop, or was GC'd early)
+    releases the thread and the queued batches instead of leaving a
+    daemon thread blocked on a full queue holding device-sharded arrays
+    alive for the process lifetime.
+    """
     q: "queue.Queue" = queue.Queue(maxsize=size)
+    stop = threading.Event()
     err = []
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in iterable:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            _put(_SENTINEL)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            break
-        yield item
-    t.join()
-    if err:
-        raise err[0]
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
+    finally:
+        stop.set()

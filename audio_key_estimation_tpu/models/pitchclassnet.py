@@ -98,6 +98,12 @@ class PitchClassNetLayer(nn.Module):
             else:
                 p2 = eqv.pc_to_pitch_tile(p_sixth, self._p_rows)
         else:
+            # Reference quirk preserved (models.py:380-383): with
+            # stay_sixth/only_semitones AND pc2p_mem the reference's
+            # forward takes NO action in this branch — the pc stream is
+            # never merged back into the pitch stream (its p2p is sized
+            # `all_previous_channels_p` alone, models.py:335). Not a bug
+            # here: checkpoint parity requires reproducing it.
             if not c.pc2p_mem:
                 p2 = eqv.pc_to_pitch_tile(pc, self._p_rows)
         if not c.pc2p_mem:

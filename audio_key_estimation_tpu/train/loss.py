@@ -27,12 +27,27 @@ def _cross_entropy(logits, labels_idx):
     return optax.softmax_cross_entropy_with_integer_labels(logits, labels_idx)
 
 
-def compute_loss(cfg: Config, outputs, batch):
+def _wmean(x, w):
+    """Mean of per-sample values x (N,), weighted by optional 0/1 w (N,)."""
+    if w is None:
+        return jnp.mean(x)
+    w = w.astype(x.dtype)
+    return jnp.sum(w * x) / jnp.maximum(jnp.sum(w), 1)
+
+
+def compute_loss(cfg: Config, outputs, batch, sample_weights=None):
     """Returns (loss, aux) for one batch.
 
     outputs: (key, tonic[, genre]) from the model.
     batch: dict with key_labels, tonic_labels, (genre,) and in local mode
     seq_length (true frame counts).
+
+    sample_weights: optional (N,) 0/1 weights. The eval path passes the
+    batch's `valid` mask so repeat-padded duplicate rows (dataset.batches
+    pads the tail batch by repeating its last sample) do not bias the
+    reported loss — without it a 9-sample set at batch_size 8 counts its
+    last sample 8x in val_loss, the early-stopping signal. None (the
+    train path, where every row is real) keeps plain means.
     """
     if cfg.genre:
         key_out, tonic_out, genre_out = outputs
@@ -53,14 +68,17 @@ def compute_loss(cfg: Config, outputs, batch):
         mask = jnp.arange(t)[None, :] < valid[:, None]          # (N, T)
         denom = jnp.maximum(valid, 1).astype(key_out.dtype)
         bce_frames = _bce(key_out, key_labels).mean(-1)          # (N, T)
-        bce_loss = (jnp.where(mask, bce_frames, 0).sum(-1) / denom).mean()
+        bce_loss = _wmean(jnp.where(mask, bce_frames, 0).sum(-1) / denom,
+                          sample_weights)
         tonic_idx = jnp.argmax(tonic_labels, axis=2)
         ce_frames = _cross_entropy(tonic_out, tonic_idx)         # (N, T)
-        tonic_loss = (jnp.where(mask, ce_frames, 0).sum(-1) / denom).mean()
+        tonic_loss = _wmean(jnp.where(mask, ce_frames, 0).sum(-1) / denom,
+                            sample_weights)
     else:
-        bce_loss = _bce(key_out, key_labels).mean()
+        bce_loss = _wmean(_bce(key_out, key_labels).mean(-1), sample_weights)
         tonic_idx = jnp.argmax(tonic_labels, axis=1)
-        tonic_loss = _cross_entropy(tonic_out, tonic_idx).mean()
+        tonic_loss = _wmean(_cross_entropy(tonic_out, tonic_idx),
+                            sample_weights)
 
     loss = cfg.key_weight * bce_loss + cfg.tonic_weight * tonic_loss
     aux["bce_loss"] = bce_loss
@@ -85,10 +103,12 @@ def compute_loss(cfg: Config, outputs, batch):
             ce = jnp.where(mask, ce_frames, 0).sum(-1) / denom     # (N,)
         else:
             ce = _cross_entropy(genre_out, genre_idx)              # (N,)
-        cnt = jnp.sum(genre_mask)
+        gw = genre_mask.astype(ce.dtype)
+        if sample_weights is not None:
+            gw = gw * sample_weights.astype(ce.dtype)
+        cnt = jnp.sum(gw)
         genre_loss = jnp.where(cnt == 0, 0.0,
-                               jnp.sum(jnp.where(genre_mask, ce, 0.0))
-                               / jnp.maximum(cnt, 1))
+                               jnp.sum(gw * ce) / jnp.maximum(cnt, 1))
         loss = loss + cfg.genre_weight * genre_loss
         aux["genre_loss"] = genre_loss
         aux["genre_mask_count"] = cnt
@@ -107,8 +127,9 @@ def compute_loss(cfg: Config, outputs, batch):
             # and averages over padded windows; this is the intended
             # masked per-window semantics instead.
             cos = jnp.where(mask, cos, 0).sum(-1) / denom
-        loss = loss + (1 - jnp.mean(cos))
-        aux["cos_sim"] = jnp.mean(cos)
+        cos_mean = _wmean(cos, sample_weights)
+        loss = loss + (1 - cos_mean)
+        aux["cos_sim"] = cos_mean
 
     aux["loss"] = loss
     return loss, aux

@@ -65,7 +65,13 @@ def create_train_state(cfg: Config, rng_key, optimizer,
 
 
 def _forward(model, cfg, params, batch_stats, batch, train, dropout_rng=None):
-    seq = batch.get("seq_length") if (cfg.frames > 0 or cfg.local) else None
+    # seq_length masks the temporal pooling in EVERY mode. The reference
+    # passes None in window_size mode (frames==0, models.py:843 guard) but
+    # there its batches carry no padding (all items cropped to exactly
+    # window_size frames, KeyDataset.py:258-264); our bucketed batches DO
+    # pad, so an unmasked mean would dilute by the pad and make a song's
+    # score depend on its batch's bucket.
+    seq = batch.get("seq_length")
     variables = {"params": params, "batch_stats": batch_stats}
     args = ((batch["mel"], batch["mel2"], seq) if cfg.multi_scale
             else (batch["mel"], seq))
@@ -133,7 +139,9 @@ def make_eval_step(model, cfg: Config):
     def eval_step(state: TrainState, batch):
         outputs, _ = _forward(model, cfg, state.params, state.batch_stats,
                               batch, False)
-        loss, aux = compute_loss(cfg, outputs, batch)
+        # `valid` masks repeat-padded duplicate rows out of the loss
+        loss, aux = compute_loss(cfg, outputs, batch,
+                                 sample_weights=batch.get("valid"))
         if cfg.genre:
             key_out, tonic_out, genre_out = outputs
         else:
@@ -198,11 +206,12 @@ def evaluate(eval_step, state, dataset, batch_size: int,
     MAX_INFLIGHT = 4
     pending = []  # (valid_mask, loss_dev, per_sample_dev)
     for batch in dataset.batches(batch_size):
-        valid = batch.pop("valid")
+        valid = np.asarray(batch["valid"])
+        batch["valid"] = valid.astype(np.float32)  # device-side loss mask
         if mesh is not None:
             batch = shard_batch(batch, mesh)
         loss, per_sample = eval_step(state, batch)
-        pending.append((np.asarray(valid), loss, per_sample))
+        pending.append((valid, loss, per_sample))
         if len(pending) >= MAX_INFLIGHT:
             # block on the oldest in-flight loss only: keeps the pipeline
             # MAX_INFLIGHT deep without serializing every step. A scalar
@@ -210,11 +219,16 @@ def evaluate(eval_step, state, dataset, batch_size: int,
             # from block_until_ready before remote execution finishes.
             float(pending[-MAX_INFLIGHT][1])
     sums: Dict[str, float] = {}
-    losses, n_samples = [], 0
+    loss_sum = loss_weight = 0.0
+    n_samples = 0
     genre_hits = genre_cnt = 0.0
     for valid, loss, per_sample in jax.device_get(pending):
-        losses.append(float(loss))
         v = np.asarray(valid)
+        # batch losses are means over that batch's VALID rows (compute_loss
+        # sample_weights); weight by valid count so every real sample
+        # counts once in the dataset-level loss
+        loss_sum += float(loss) * v.sum()
+        loss_weight += v.sum()
         n_samples += v.sum()
         ps = {k: np.asarray(x) for k, x in per_sample.items()}
         for k in ("mirex", "correct", "fifths", "relative", "parallel",
@@ -225,7 +239,7 @@ def evaluate(eval_step, state, dataset, batch_size: int,
             genre_hits += float((ps["accuracy_genre"] * ps["genre_labeled"])[v].sum())
             genre_cnt += float(ps["genre_labeled"][v].sum())
     out = {k: s / max(n_samples, 1) for k, s in sums.items()}
-    out["loss"] = float(np.mean(losses)) if losses else float("nan")
+    out["loss"] = (loss_sum / loss_weight) if loss_weight else float("nan")
     out["accuracy_genre"] = genre_hits / genre_cnt if genre_cnt else 0.0
     out["num_samples"] = int(n_samples)
     return out

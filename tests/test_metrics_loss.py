@@ -142,3 +142,34 @@ def test_loss_matches_torch(rng):
     expected = (cfg.key_weight * bce + cfg.tonic_weight * ce_t
                 + cfg.genre_weight * ce_g + (1 - cos.sum() / n))
     np.testing.assert_allclose(float(loss), float(expected), rtol=1e-5)
+
+
+def test_loss_sample_weights_ignore_padded_rows(rng):
+    """Eval passes the batch `valid` mask as sample_weights: a batch whose
+    tail rows are repeat-padded duplicates must yield the same loss as the
+    batch of unique rows alone (global and use_cos paths)."""
+    cfg = Config(genre=True, use_cos=True)
+    n = 3
+    key = jnp.asarray(rng.uniform(0.05, 0.95, (n, 12)).astype(np.float32))
+    tonic = jnp.asarray(rng.standard_normal((n, 12)).astype(np.float32))
+    genre = jnp.asarray(rng.standard_normal((n, 11)).astype(np.float32))
+    batch = {
+        "key_labels": jnp.asarray((rng.random((n, 12)) < 0.5)
+                                  .astype(np.float32)),
+        "tonic_labels": jnp.asarray(np.eye(12, dtype=np.float32)[
+            rng.integers(0, 12, n)]),
+        "genre": jnp.asarray(np.eye(11, dtype=np.float32)[
+            rng.integers(0, 11, n)]),
+    }
+    ref, _ = compute_loss(cfg, (key, tonic, genre), batch)
+
+    def dup(x):  # repeat the last row 2x (the dataset's tail padding)
+        return jnp.concatenate([x, x[-1:], x[-1:]], axis=0)
+    padded = {k: dup(v) for k, v in batch.items()}
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0])
+    weighted, _ = compute_loss(cfg, (dup(key), dup(tonic), dup(genre)),
+                               padded, sample_weights=w)
+    np.testing.assert_allclose(float(weighted), float(ref), rtol=1e-6)
+    unweighted, _ = compute_loss(cfg, (dup(key), dup(tonic), dup(genre)),
+                                 padded)
+    assert abs(float(unweighted) - float(ref)) > 1e-6  # bias existed

@@ -45,3 +45,32 @@ def test_throughput_meter():
     m.stop(audio_seconds=60.0)
     assert m.audio_min_per_sec > 0
     assert m.per_chip(2) == m.audio_min_per_sec / 2
+
+
+def test_prefetch_releases_producer_on_abandoned_consumer():
+    """Breaking out of a prefetch loop must not leave the producer thread
+    blocked on the bounded queue forever."""
+    import threading
+    import time as _time
+    from audio_key_estimation_tpu.data.pipeline import prefetch
+
+    started = threading.active_count()
+    gen = prefetch(iter(range(100)), size=1)
+    assert next(gen) == 0
+    gen.close()   # consumer abandons mid-stream
+    deadline = _time.time() + 5.0
+    while threading.active_count() > started and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= started
+
+
+def test_merge_eval_config_keeps_runtime_fields():
+    from audio_key_estimation_tpu.config import Config, merge_eval_config
+    saved = Config(octaves=4, n_filters=2, data_root="/old/corpus",
+                   no_test=False, batch_size=8)
+    cli = Config(octaves=8, n_filters=4, data_root="/new/corpus",
+                 no_test=True, batch_size=2)
+    merged = merge_eval_config(cli, saved)
+    assert merged.octaves == 4 and merged.n_filters == 2   # checkpoint wins
+    assert merged.data_root == "/new/corpus"               # runtime wins
+    assert merged.no_test is True and merged.batch_size == 2
