@@ -52,6 +52,37 @@ def test_masked_lengths_change_output(rng):
     assert not np.allclose(np.asarray(full[0][1]), np.asarray(part[0][1]))
 
 
+def test_bucket_padding_invariance_with_seq_mask(rng):
+    """A song's eval outputs must not depend on how much zero padding its
+    batch bucket carries, as long as seq_length masks the pooling — the
+    regression behind window-mode (frames==0) seq=None, where bucket
+    choice changed every score.
+
+    Exact equality is impossible by reference design: the pitch-stream
+    convs replicate torch's padding_mode='circular' on BOTH spatial axes
+    (reference models.py:221), so frame 0's receptive field wraps around
+    to the END of the padded axis — real tail data in the short layout,
+    zeros in the padded one. That residual is confined to the k//2 edge
+    frames of a few-hundred-frame mean (measured ~5e-4 on sigmoid
+    outputs); the seq mask removes the O(1) padding dilution."""
+    t = 60
+    mel = np.zeros((1, BASE.pitches, t, 1), np.float32)
+    mel[..., :t, :] = rng.normal(size=(1, BASE.pitches, t, 1))
+    model = PitchClassNet(BASE)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(mel), jnp.array([t]), False)
+    small = model.apply(variables, jnp.asarray(mel), jnp.array([t]), False)
+    big = np.zeros((1, BASE.pitches, 2 * t, 1), np.float32)
+    big[..., :t, :] = mel
+    padded = model.apply(variables, jnp.asarray(big), jnp.array([t]), False)
+    for a, b in zip(small, padded):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-3)
+    # and the masked mean is NOT diluted: without the mask the padded
+    # layout would roughly halve every pooled activation
+    assert np.abs(np.asarray(small[0]) - np.asarray(padded[0])).max() < 5e-3
+
+
 @pytest.mark.parametrize("mode", ["resblock", "denseblock", "stay_sixth",
                                   "only_semitones", "p2pc_conv", "pc2p_mem",
                                   "max_pool", "three_layers"])
