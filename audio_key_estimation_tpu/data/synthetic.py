@@ -34,14 +34,64 @@ def sine_wav(path: str, freq: float, seconds: float = 2.0, sr: int = 22050):
     write_wav(path, 0.5 * np.sin(2 * np.pi * freq * t), sr)
 
 
-def make_giantsteps_corpus(root: str, songs, seconds: float = 2.0):
-    """songs: list of (name, freq, key_string, genre_string)."""
+_MAJOR_STEPS = (0, 2, 4, 5, 7, 9, 11)
+
+
+def scale_wav(path: str, tonic_pc: int, minor: bool, seconds: float = 2.0,
+              sr: int = 22050, seed: int = 0):
+    """A song whose AUDIO determines its key: a random walk of sine notes
+    over the key's diatonic pitch classes (natural minor = the relative
+    major's set rotated), octaves 3-5, with the tonic sounded first, last,
+    and 3x as often — so key signature AND tonic are learnable from sound
+    alone. Used by the TPU convergence run (scripts/train_converge_tpu.py),
+    where single-tone fixtures would make the labels unlearnable."""
+    rng = np.random.default_rng(seed)
+    rel_major = (tonic_pc + 3) % 12 if minor else tonic_pc
+    pcs = [(rel_major + s) % 12 for s in _MAJOR_STEPS]
+    weights = np.array([3.0 if pc == tonic_pc else 1.0 for pc in pcs])
+    weights /= weights.sum()
+    note_s = 0.25
+    n_notes = max(2, int(round(seconds / note_s)))
+    choices = rng.choice(len(pcs), size=n_notes, p=weights)
+    octs = rng.integers(3, 6, size=n_notes)
+    choices[0] = choices[-1] = pcs.index(tonic_pc)
+    y = np.zeros(int(seconds * sr), np.float32)
+    env = np.minimum(1.0, np.minimum(np.arange(int(note_s * sr)) / 200.0,
+                     (int(note_s * sr) - np.arange(int(note_s * sr))) / 200.0))
+    for i, (ci, oc) in enumerate(zip(choices, octs)):
+        f0 = 440.0 * 2.0 ** ((pcs[ci] - 9) / 12.0 + (int(oc) - 4))
+        s0 = int(i * note_s * sr)
+        seg = min(len(env), len(y) - s0)
+        if seg <= 0:
+            break
+        t = np.arange(seg) / sr
+        y[s0:s0 + seg] += (0.5 * env[:seg] * np.sin(2 * np.pi * f0 * t)
+                           ).astype(np.float32)
+    write_wav(path, y, sr)
+
+
+def make_giantsteps_corpus(root: str, songs, seconds: float = 2.0,
+                           scale_audio: bool = False, seed_offset: int = 0):
+    """songs: list of (name, freq, key_string, genre_string).
+
+    scale_audio=True synthesizes diatonic scale-walk audio derived from
+    key_string (see scale_wav) instead of a single sine at `freq`;
+    seed_offset decorrelates the walks of corpora sharing key lists
+    (train vs val)."""
     os.makedirs(os.path.join(root, "audio"), exist_ok=True)
     os.makedirs(os.path.join(root, "annotations", "key"), exist_ok=True)
     os.makedirs(os.path.join(root, "annotations", "genre"), exist_ok=True)
-    for name, freq, key, genre in songs:
-        sine_wav(os.path.join(root, "audio", f"{name}.wav"), freq,
-                 seconds=seconds)
+    note_pc = {"c": 0, "db": 1, "c#": 1, "d": 2, "eb": 3, "d#": 3, "e": 4,
+               "f": 5, "gb": 6, "f#": 6, "g": 7, "ab": 8, "g#": 8, "a": 9,
+               "bb": 10, "a#": 10, "b": 11, "cb": 11}
+    for idx, (name, freq, key, genre) in enumerate(songs):
+        wav = os.path.join(root, "audio", f"{name}.wav")
+        if scale_audio:
+            note, mode = key.split()
+            scale_wav(wav, note_pc[note.lower()], mode == "minor",
+                      seconds=seconds, seed=seed_offset + idx)
+        else:
+            sine_wav(wav, freq, seconds=seconds)
         with open(os.path.join(root, "annotations", "key", f"{name}.key"), "w") as f:
             f.write(key)
         with open(os.path.join(root, "annotations", "genre", f"{name}.genre"), "w") as f:

@@ -403,3 +403,32 @@ def test_pack_batch_int16_and_mixed(rng):
     assert batch.dtype == np.float32 and batch.shape == (3, 12)
     np.testing.assert_allclose(batch[0, :10], a.astype(np.float32) / 32768.0)
     np.testing.assert_array_equal(batch[1, :9], c)
+
+
+def test_scale_wav_diatonic_content(tmp_path):
+    """scale_wav's notes stay inside the key's diatonic pitch-class set
+    (checked by FFT peak per note), and different seeds give different
+    walks."""
+    import numpy.fft as fft
+    p1 = str(tmp_path / "a.wav")
+    p2 = str(tmp_path / "b.wav")
+    synthetic.scale_wav(p1, 7, False, seconds=4.0, seed=3)   # G major
+    synthetic.scale_wav(p2, 7, False, seconds=4.0, seed=4)
+    y1, sr = audio_io.decode_audio(p1)
+    y2, _ = audio_io.decode_audio(p2)
+    assert not np.array_equal(y1, y2)
+    g_major = {7, 9, 11, 0, 2, 4, 6}
+    note = int(0.25 * sr)
+    hits = 0
+    for i in range(4 * 4):
+        seg = y1[i * note: (i + 1) * note]
+        if np.abs(seg).max() < 1e-3:
+            continue
+        spec = np.abs(fft.rfft(seg * np.hanning(len(seg))))
+        f0 = np.argmax(spec) * sr / len(seg)
+        if f0 < 20:
+            continue
+        pc = int(round(12 * np.log2(f0 / 440.0) + 9)) % 12
+        assert pc in g_major, (i, f0, pc)
+        hits += 1
+    assert hits >= 10
