@@ -24,6 +24,7 @@ assert at KeyDataset.py:439 expects time-major stacking).
 
 from __future__ import annotations
 
+import warnings
 from typing import Sequence
 
 import numpy as np
@@ -32,10 +33,19 @@ from .key_signatures import KEY_SIGNATURE_MAP
 
 
 def vocab_index(value: str, vocab: Sequence[str]) -> int:
-    """First index of `value` in `vocab`; 0 if absent (argmax-of-False quirk)."""
+    """First index of `value` in `vocab`; 0 if absent (argmax-of-False quirk,
+    reference KeyDataset.py:443 — an unmatched key string silently labels
+    the song as vocab row 0). The mapping is preserved bit-for-bit for
+    parity, but unlike the reference it WARNS: silently-garbage labels cap
+    training accuracy with no visible error (matching is case-sensitive —
+    'c major' does not match 'C major')."""
     for i, v in enumerate(vocab):
         if value == v:
             return i
+    warnings.warn(
+        f"key string {value!r} not in the loader's vocabulary — labeled as "
+        f"row 0 ({vocab[0]!r}), the reference's unmatched-key behavior",
+        stacklevel=2)
     return 0
 
 

@@ -1,7 +1,7 @@
 """Convergence run on the real TPU chip: does the full system LEARN?
 
-48-song corpus over all 24 keys whose audio determines the key (diatonic
-scale walks, synthetic.scale_wav) — train 36 / val 12 disjoint songs —
+A corpus over all 24 keys whose audio determines the key (diatonic scale
+walks, synthetic.scale_wav) — 240 train / 48 val with disjoint walks —
 through the standard Trainer (same code path as cli/train.py) at flagship
 geometry. Writes TRAIN_CONVERGE_TPU.md with the epoch trajectory and
 final val MIREX. Run serially, one TPU process at a time.
@@ -24,7 +24,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 
-NOTE = ["c", "db", "d", "eb", "e", "f", "gb", "g", "ab", "a", "bb", "b"]
+NOTE = ["C", "Db", "D", "Eb", "E", "F", "Gb", "G", "Ab", "A", "Bb", "B"]
 
 
 def main():
@@ -38,8 +38,8 @@ def main():
 
     cfg = Config(octaves=8, num_layers=2, conv_layers=3, n_filters=4,
                  kernel_size=7, head_layers=2, batch_size=8, acc_grad=1,
-                 epochs=60, frames=5, bucket_sizes=(512,), no_ckpt=True,
-                 early_stop_patience=60, lr=3e-4)
+                 epochs=40, frames=5, bucket_sizes=(512,), no_ckpt=True,
+                 early_stop_patience=40, lr=3e-4, reg=1e-4)
     keys = [f"{n} {m}" for m in ("major", "minor") for n in NOTE]
     with tempfile.TemporaryDirectory() as td:
         def corpus(tag, per_key, seed0):
@@ -50,8 +50,8 @@ def main():
                 scale_audio=True, seed_offset=seed0)
         # disjoint song sets (scale_wav seeds differ by index AND corpus
         # size, so train and val walks differ)
-        train_root = corpus("tr", 2, 0)
-        val_root = corpus("va", 1, 1000)
+        train_root = corpus("tr", 10, 0)
+        val_root = corpus("va", 2, 100000)
         t0 = time.time()
         train_ds = KeyDataset(genre=False, cfg=cfg, blacklist_path="",
                               use_cache=False)
@@ -73,7 +73,7 @@ def main():
         "# TPU convergence run",
         "",
         f"Device: **{dev.device_kind}** (`{dev.platform}`)",
-        "Corpus: 48 train + 24 val synthetic scale-walk songs over all 24 "
+        "Corpus: 240 train + 48 val synthetic scale-walk songs over all 24 "
         "keys (audio determines key; disjoint walks), flagship geometry, "
         f"bs {cfg.batch_size}, lr {cfg.lr}, {cfg.epochs} epochs.",
         "",

@@ -41,7 +41,7 @@ def main():
                  epochs=2, frames=5, bucket_sizes=(1024,), no_ckpt=True,
                  early_stop_patience=10)
     with tempfile.TemporaryDirectory() as td:
-        keys = ["c major", "a minor", "g major", "d major"]
+        keys = ["C major", "A minor", "G major", "D major"]
         songs = [(f"s{i}", 220.0 * 2 ** (i / 12), keys[i % 4], "techno")
                  for i in range(16)]
         root = synthetic.make_giantsteps_corpus(
