@@ -34,7 +34,7 @@ def sine_wav(path: str, freq: float, seconds: float = 2.0, sr: int = 22050):
     write_wav(path, 0.5 * np.sin(2 * np.pi * freq * t), sr)
 
 
-_MAJOR_STEPS = (0, 2, 4, 5, 7, 9, 11)
+from ..utils.key_signatures import _MAJOR_STEPS
 
 
 def scale_wav(path: str, tonic_pc: int, minor: bool, seconds: float = 2.0,
@@ -50,17 +50,17 @@ def scale_wav(path: str, tonic_pc: int, minor: bool, seconds: float = 2.0,
     pcs = [(rel_major + s) % 12 for s in _MAJOR_STEPS]
     weights = np.array([3.0 if pc == tonic_pc else 1.0 for pc in pcs])
     weights /= weights.sum()
-    note_s = 0.25
-    n_notes = max(2, int(round(seconds / note_s)))
+    note_len = int(0.25 * sr)      # integer note grid: note i starts at
+    n_notes = max(2, int(seconds * sr) // note_len)  # exactly i * note_len
     choices = rng.choice(len(pcs), size=n_notes, p=weights)
     octs = rng.integers(3, 6, size=n_notes)
     choices[0] = choices[-1] = pcs.index(tonic_pc)
     y = np.zeros(int(seconds * sr), np.float32)
-    env = np.minimum(1.0, np.minimum(np.arange(int(note_s * sr)) / 200.0,
-                     (int(note_s * sr) - np.arange(int(note_s * sr))) / 200.0))
+    env = np.minimum(1.0, np.minimum(np.arange(note_len) / 200.0,
+                     (note_len - np.arange(note_len)) / 200.0))
     for i, (ci, oc) in enumerate(zip(choices, octs)):
         f0 = 440.0 * 2.0 ** ((pcs[ci] - 9) / 12.0 + (int(oc) - 4))
-        s0 = int(i * note_s * sr)
+        s0 = i * note_len
         seg = min(len(env), len(y) - s0)
         if seg <= 0:
             break

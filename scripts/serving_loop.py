@@ -89,7 +89,10 @@ def main():
             for i in range(STEPS):
                 k = i % 2
                 free[k].acquire()
-                audio_io.ingest_batch(paths, L, out=bufs[k])
+                batch, _, _ = audio_io.ingest_batch(paths, L, out=bufs[k])
+                # the decode fallback (non-mono-PCM16 input) ignores out=
+                # and would leave bufs[k] stale — fail loudly, not wrongly
+                assert batch is bufs[k], "ingest fell back off the raw path"
                 ready[k].release()
 
         # warm: compile + first ingest

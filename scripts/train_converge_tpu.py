@@ -66,6 +66,7 @@ def main():
               f"{len(train_ds)}+{len(val_ds)} songs", flush=True)
 
         trainer = Trainer(cfg, train_ds, val_ds, use_mesh=False)
+        n_train, n_val = len(train_ds), len(val_ds)
         state, history = trainer.fit(seed=0)
 
     best = max(h.get("val_mirex", 0.0) for h in history)
@@ -73,17 +74,18 @@ def main():
         "# TPU convergence run",
         "",
         f"Device: **{dev.device_kind}** (`{dev.platform}`)",
-        "Corpus: 240 train + 48 val synthetic scale-walk songs over all 24 "
-        "keys (audio determines key; disjoint walks), flagship geometry, "
-        f"bs {cfg.batch_size}, lr {cfg.lr}, {cfg.epochs} epochs.",
+        f"Corpus: {n_train} train + {n_val} val synthetic scale-walk songs "
+        "over all 24 keys (audio determines key; disjoint walks), flagship "
+        f"geometry, bs {cfg.batch_size}, lr {cfg.lr}, {cfg.epochs} epochs.",
         "",
         "| epoch | train_loss | val_loss | val_mirex |",
         "|---|---|---|---|",
     ]
     for i, h in enumerate(history):
         if i % 5 == 0 or i == len(history) - 1:
-            lines.append(f"| {i} | {h['train_loss']:.4f} | "
-                         f"{h['val_loss']:.4f} | {h['val_mirex']:.4f} |")
+            lines.append(f"| {i} | {h.get('train_loss', float('nan')):.4f} | "
+                         f"{h.get('val_loss', float('nan')):.4f} | "
+                         f"{h.get('val_mirex', 0.0):.4f} |")
     lines += ["", f"Best val MIREX: **{best:.4f}** — the full TPU train "
               "path (bucketed data, scan grad-accum, BatchNorm carry, "
               "masked eval) learns key structure end-to-end."]

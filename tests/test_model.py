@@ -66,8 +66,7 @@ def test_bucket_padding_invariance_with_seq_mask(rng):
     frames of a few-hundred-frame mean (measured ~5e-4 on sigmoid
     outputs); the seq mask removes the O(1) padding dilution."""
     t = 60
-    mel = np.zeros((1, BASE.pitches, t, 1), np.float32)
-    mel[..., :t, :] = rng.normal(size=(1, BASE.pitches, t, 1))
+    mel = rng.normal(size=(1, BASE.pitches, t, 1)).astype(np.float32)
     model = PitchClassNet(BASE)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.asarray(mel), jnp.array([t]), False)
@@ -78,9 +77,15 @@ def test_bucket_padding_invariance_with_seq_mask(rng):
     for a, b in zip(small, padded):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-3)
-    # and the masked mean is NOT diluted: without the mask the padded
-    # layout would roughly halve every pooled activation
-    assert np.abs(np.asarray(small[0]) - np.asarray(padded[0])).max() < 5e-3
+    # dilution check: the UNMASKED padded forward (seq=None means mean
+    # over the full padded axis) must diverge far beyond the circular-wrap
+    # residual above — that is the regression this test guards against
+    masked_diff = max(np.abs(np.asarray(a) - np.asarray(b)).max()
+                      for a, b in zip(small, padded))
+    diluted = model.apply(variables, jnp.asarray(big), None, False)
+    diluted_diff = np.abs(np.asarray(diluted[1])
+                          - np.asarray(small[1])).max()
+    assert diluted_diff > 5 * masked_diff
 
 
 @pytest.mark.parametrize("mode", ["resblock", "denseblock", "stay_sixth",
