@@ -12,6 +12,7 @@ otherwise a clear error points at pre-converting the corpus.
 from __future__ import annotations
 
 import concurrent.futures as futures
+import ctypes
 import mmap
 import os
 import shutil
@@ -344,6 +345,41 @@ def ingest_batch(paths, pad_len: int, workers: int = 8,
     to pad_len), rates[i] its sample rate.
     """
     paths = list(paths)
+    all_wav = all(os.path.splitext(p)[1].lower() == ".wav" for p in paths)
+
+    # Native fast path: ONE C call (akx_ingest_batch) header-parses and
+    # preads every file's PCM16 data chunk into the batch rows — no
+    # per-file Python at all (the round-1 host-decode residual). Falls
+    # through to the Python probe/readinto path (and from there to full
+    # decode) unless every file ingests clean.
+    if all_wav and paths and sys.byteorder == "little":
+        lib = load_library()
+        if lib is not None:
+            n = n_rows if n_rows is not None else len(paths)
+            if out is not None:
+                if (out.shape != (n, pad_len) or out.dtype != np.int16
+                        or not out.flags.c_contiguous):
+                    raise ValueError(
+                        f"out must be C-contiguous int16 {(n, pad_len)}, "
+                        f"got {out.dtype} {out.shape}")
+                batch = out
+            else:
+                batch = np.empty((n, pad_len), np.int16)
+            arr = (ctypes.c_char_p * len(paths))(
+                *[os.fsencode(p) for p in paths])
+            lengths = np.empty(len(paths), np.int64)
+            rates = np.empty(len(paths), np.int32)
+            ok = np.empty(len(paths), np.uint8)
+            n_ok = lib.akx_ingest_batch(
+                arr, len(paths),
+                batch.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                n, pad_len, workers,
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+            if n_ok == len(paths):
+                return batch, lengths, [int(r) for r in rates]
+
     layouts = []
     for p in paths:
         if os.path.splitext(p)[1].lower() != ".wav":

@@ -44,6 +44,9 @@ def layer_channels(layer_num: int, n_filters: int, conv_layers: int,
         prev_pc = 2 * prev_p
 
     if layer_num == 0:
+        # out_pc=4 reproduces models.py:307 but is dead in both codebases:
+        # layer 0's pc-conv stack actually emits n_filters channels
+        # (pitchclassnet.py builds it from cfg.n_filters, not this value).
         out_p, out_pc = 1, 4
     elif layer_num == 1:
         out_p = 2 * n_filters

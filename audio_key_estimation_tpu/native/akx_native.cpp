@@ -13,6 +13,10 @@
 // arbitrary channel count (channel 0 is returned, matching the reference's
 // waveform[0] at KeyDataset.py:481).
 
+#include <fcntl.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
@@ -214,9 +218,123 @@ class DecodePool {
   bool stop_;
 };
 
+// ---------------------------------------------------------------------------
+// Batch ingest: one C call that parses every file's RIFF layout and preads
+// its PCM16 data chunk STRAIGHT into the caller's int16 batch buffer — the
+// native fast path of data/audio_io.ingest_batch. The round-1 residual was
+// per-file Python (header parse + open/seek/readinto) on a 1-core host;
+// here the whole batch is header-walk + pread per file with zero Python in
+// the loop, and worker threads when cores exist.
+// ---------------------------------------------------------------------------
+
+struct WavLayout {
+  uint16_t fmt = 0, channels = 0, bits = 0;
+  uint32_t rate = 0;
+  int64_t data_off = -1, data_len = 0;
+};
+
+// RIFF chunk walk with preads only (mirrors audio_io._wav_layout).
+bool wav_layout_fd(int fd, int64_t fsize, WavLayout* L) {
+  uint8_t head[12];
+  if (pread(fd, head, 12, 0) != 12 || memcmp(head, "RIFF", 4) != 0 ||
+      memcmp(head + 8, "WAVE", 4) != 0)
+    return false;
+  int64_t pos = 12;
+  while (pos + 8 <= fsize) {
+    uint8_t hdr[8];
+    if (pread(fd, hdr, 8, pos) != 8) break;
+    uint32_t clen = rd_u32(hdr + 4);
+    int64_t body = pos + 8;
+    if (memcmp(hdr, "fmt ", 4) == 0 && clen >= 16) {
+      uint8_t b[64];
+      size_t want = clen < 64 ? clen : 64;
+      if (pread(fd, b, want, body) != (ssize_t)want) return false;
+      L->fmt = rd_u16(b);
+      L->channels = rd_u16(b + 2);
+      L->rate = rd_u32(b + 4);
+      L->bits = rd_u16(b + 14);
+      if (L->fmt == 0xFFFE && clen >= 40) L->fmt = rd_u16(b + 24);
+    } else if (memcmp(hdr, "data", 4) == 0) {
+      int64_t avail = fsize - body;
+      L->data_off = body;
+      L->data_len = (int64_t)clen < avail ? (int64_t)clen : avail;
+    }
+    pos = body + clen + (clen & 1);  // chunks are word-aligned
+  }
+  return L->data_off >= 0 && L->channels != 0;
+}
+
+// Ingest file i: data chunk -> batch row i, zero tail. Returns true when the
+// file is a little-endian mono PCM16 WAV and the read succeeded.
+bool ingest_one(const char* path, int16_t* row, int64_t pad_len,
+                int64_t* length, int32_t* rate) {
+  *length = 0;
+  *rate = 0;
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return false;
+  struct stat st;
+  if (fstat(fd, &st) != 0) {
+    close(fd);
+    return false;
+  }
+  WavLayout L;
+  bool ok = wav_layout_fd(fd, (int64_t)st.st_size, &L) && L.fmt == 1 &&
+            L.channels == 1 && L.bits == 16;
+  int64_t m = 0;
+  if (ok) {
+    m = L.data_len / 2;
+    if (m > pad_len) m = pad_len;
+    uint8_t* dst = (uint8_t*)row;
+    int64_t want = 2 * m, done = 0;
+    while (done < want) {
+      ssize_t got = pread(fd, dst + done, want - done, L.data_off + done);
+      if (got <= 0) break;
+      done += got;
+    }
+    m = done / 2;  // short file: keep what arrived
+  }
+  close(fd);
+  if (m < pad_len) memset(row + m, 0, (size_t)(pad_len - m) * 2);
+  *length = m;
+  *rate = (int32_t)L.rate;
+  return ok;
+}
+
 }  // namespace
 
 extern "C" {
+
+// Batch PCM16 ingest. batch is (n_rows, pad_len) int16, C-contiguous;
+// lengths/rates/ok are caller buffers of n_files entries. Rows beyond
+// n_files are zero-filled. Returns the number of files ingested OK (the
+// caller falls back to the Python decode path unless all succeeded).
+int64_t akx_ingest_batch(const char** paths, int64_t n_files, int16_t* batch,
+                         int64_t n_rows, int64_t pad_len, int n_threads,
+                         int64_t* lengths, int32_t* rates, uint8_t* ok) {
+  std::atomic<int64_t> next(0), n_ok(0);
+  auto work = [&] {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= n_files) return;
+      bool good = ingest_one(paths[i], batch + i * pad_len, pad_len,
+                             &lengths[i], &rates[i]);
+      ok[i] = good ? 1 : 0;
+      if (good) n_ok.fetch_add(1);
+    }
+  };
+  int threads = n_threads;
+  if (threads > n_files) threads = (int)n_files;
+  if (threads > 1) {
+    std::vector<std::thread> ts;
+    for (int t = 0; t < threads; ++t) ts.emplace_back(work);
+    for (auto& t : ts) t.join();
+  } else {
+    work();
+  }
+  for (int64_t i = n_files; i < n_rows; ++i)
+    memset(batch + i * pad_len, 0, (size_t)pad_len * 2);
+  return n_ok.load();
+}
 
 // Decode channel 0 of a WAV file. Returns a handle (>0) or 0 on failure.
 // Use akx_samples/akx_sample_rate/akx_error to inspect, akx_free to release.

@@ -52,6 +52,14 @@ def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.akx_result_error.restype = ctypes.c_char_p
     lib.akx_result_error.argtypes = [ctypes.c_void_p]
     lib.akx_result_free.argtypes = [ctypes.c_void_p]
+
+    lib.akx_ingest_batch.restype = ctypes.c_int64
+    lib.akx_ingest_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_uint8)]
     return lib
 
 
@@ -62,17 +70,22 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
     if _tried and not os.path.exists(_SO):
         return None
     _tried = True
-    if not os.path.exists(_SO) and build_if_missing:
+    src = os.path.join(_DIR, "akx_native.cpp")
+    stale = (not os.path.exists(_SO)
+             or (os.path.exists(src)
+                 and os.path.getmtime(src) > os.path.getmtime(_SO)))
+    if stale and build_if_missing:
         try:
-            subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+            subprocess.run(["make", "-C", _DIR, "-sB"], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_SO):
+                return None
     if not os.path.exists(_SO):
         return None
     try:
         _lib = _declare(ctypes.CDLL(_SO))
-    except OSError:
+    except (OSError, AttributeError):  # missing .so or outdated symbols
         return None
     return _lib
 

@@ -26,7 +26,7 @@ from .config import Config
 from .data import audio_io
 from .data.audio_io import decode_many
 from .data.loaders import A_GENRES
-from .models import PitchClassNet
+from .models import PitchClassNet, PitchClassNetMulti
 from .ops.cqt import CQTParams, reference_hop
 from .ops.frontend import compute_cqt
 from .utils.key_signatures import KEY_SIGNATURE_MAP
@@ -99,15 +99,32 @@ class KeyEstimator:
         XLA splitting the CQT + forward across chips over ICI. Batches are
         repeat-padded up to a multiple of the mesh size."""
         self.cfg = cfg.replace(local=False)
-        self.model = PitchClassNet(self.cfg, dtype=jnp.dtype(cfg.dtype))
+        # Serving must build the architecture the checkpoint was trained
+        # with: a multi_scale config selects the two-scale ensemble
+        # (reference models.py:1118-1189), and a params/config mismatch is
+        # rejected loudly rather than silently mis-applying weights.
+        has_multi_params = any(str(k).startswith("model1")
+                               for k in variables.get("params", {}))
+        if has_multi_params != bool(cfg.multi_scale):
+            raise ValueError(
+                f"checkpoint/config mismatch: config.multi_scale="
+                f"{cfg.multi_scale} but params "
+                f"{'have' if has_multi_params else 'lack'} the "
+                "model1/model2 ensemble structure")
+        model_cls = PitchClassNetMulti if cfg.multi_scale else PitchClassNet
+        self.model = model_cls(self.cfg, dtype=jnp.dtype(cfg.dtype))
         self.mesh = mesh
         if mesh is not None:
             from .parallel.mesh import replicate
             variables = replicate(variables, mesh)
         self.variables = variables
         self.bucket_seconds = bucket_seconds
-        self._apply = jax.jit(
-            lambda mel, seq: self.model.apply(self.variables, mel, seq, False))
+        if cfg.multi_scale:
+            self._apply = jax.jit(lambda mel1, mel2, seq: self.model.apply(
+                self.variables, mel1, mel2, seq, False))
+        else:
+            self._apply = jax.jit(lambda mel, seq: self.model.apply(
+                self.variables, mel, seq, False))
         self._apply_local = None  # built on first predict_*_local call
 
     def _mesh_pad(self, n: int) -> int:
@@ -165,17 +182,25 @@ class KeyEstimator:
             seq_j = jax.device_put(seq_j, NamedSharding(self.mesh, P("data")))
         return batch_j, seq_j, hop
 
+    def _features(self, batch, sr: int, hop: int, cfg: Config) -> tuple:
+        """log1p-CQT feature tensors: (mel,) or (mel1, mel2) for multi-scale
+        (model2 consumes the 12-bins/octave CQT — models.py:1118-1146)."""
+        bpos = (cfg.bins_per_octave, 12) if cfg.multi_scale \
+            else (cfg.bins_per_octave,)
+        mels = []
+        for bpo in bpos:
+            params = CQTParams(sr=sr, hop=hop, bins_per_octave=bpo,
+                               octaves=cfg.octaves)
+            mels.append(compute_cqt(
+                batch, params, use_pallas=cfg.use_pallas_cqt,
+                conv_dtype=cfg.cqt_conv_dtype)[:, :, :, None])
+        return tuple(mels)
+
     def predict_waveforms(self, waveforms: Sequence[np.ndarray], sr: int,
                           return_raw: bool = False) -> List[Prediction]:
         cfg = self.cfg
         batch, seq, hop = self._make_batch(waveforms, sr, cfg)
-        params = CQTParams(sr=sr, hop=hop,
-                           bins_per_octave=cfg.bins_per_octave,
-                           octaves=cfg.octaves)
-        mel = compute_cqt(batch, params,
-                          use_pallas=cfg.use_pallas_cqt,
-                          conv_dtype=cfg.cqt_conv_dtype)[:, :, :, None]
-        out = self._apply(mel, seq)
+        out = self._apply(*self._features(batch, sr, hop, cfg), seq)
         key = np.asarray(out[0])
         tonic = np.asarray(out[1])
         genre = np.asarray(out[2]) if cfg.genre else None
@@ -219,18 +244,20 @@ class KeyEstimator:
         sliding max over frame windows)."""
         cfg = self.cfg.replace(local=True)
         if self._apply_local is None:
-            model = PitchClassNet(cfg, dtype=jnp.dtype(cfg.dtype))
-            self._apply_local = jax.jit(
-                lambda mel, seq: model.apply(self.variables, mel, seq, False))
+            model_cls = PitchClassNetMulti if cfg.multi_scale \
+                else PitchClassNet
+            model = model_cls(cfg, dtype=jnp.dtype(cfg.dtype))
+            if cfg.multi_scale:
+                self._apply_local = jax.jit(
+                    lambda mel1, mel2, seq: model.apply(
+                        self.variables, mel1, mel2, seq, False))
+            else:
+                self._apply_local = jax.jit(
+                    lambda mel, seq: model.apply(
+                        self.variables, mel, seq, False))
         batch, seq_j, hop = self._make_batch(waveforms, sr, cfg)
         seq = np.asarray(seq_j)
-        params = CQTParams(sr=sr, hop=hop,
-                           bins_per_octave=cfg.bins_per_octave,
-                           octaves=cfg.octaves)
-        mel = compute_cqt(batch, params,
-                          use_pallas=cfg.use_pallas_cqt,
-                          conv_dtype=cfg.cqt_conv_dtype)[:, :, :, None]
-        out = self._apply_local(mel, seq_j)
+        out = self._apply_local(*self._features(batch, sr, hop, cfg), seq_j)
         key = np.asarray(out[0])                     # (N, T', 12)
         tonic = np.asarray(out[1])
         genre = np.asarray(out[2]) if cfg.genre else None

@@ -33,7 +33,7 @@ from ..models import PitchClassNet, PitchClassNetMulti
 from ..parallel.mesh import fit_data_mesh, replicate, shard_batch
 from . import checkpoints as ckpt_lib
 from .loss import compute_loss
-from .metrics import all_key_accuracy, genre_accuracy, mirex_categories
+from .metrics import mirex_categories
 from .optim import make_optimizer
 
 

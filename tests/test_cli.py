@@ -28,6 +28,21 @@ def test_equivariance_cli_check_passes():
     assert worst < 1e-4, worst
 
 
+def test_equivariance_cli_wav_path(tmp_path):
+    """The --wav route (real audio -> CQT -> shift stack), mirroring the
+    reference's GTZAN-wav run (equivariance_test.py:109) on a generated
+    scale WAV."""
+    wav = str(tmp_path / "tone.wav")
+    synthetic.scale_wav(wav, tonic_pc=0, minor=False, seconds=1.0)
+    out = str(tmp_path / "eq.npy")
+    rc = eq_cli.main([
+        "--wav", wav, "--octaves", "4", "--num_layers", "2",
+        "--conv_layers", "1", "--n_filters", "2", "--kernel_size", "3",
+        "--head_layers", "1", "--save", out])
+    assert rc == 0
+    assert np.load(out).shape == (25, 12)
+
+
 def test_shift_rows_matches_reference_semantics():
     mel = np.arange(24, dtype=np.float32).reshape(12, 2)
     up = eq_cli.shift_rows(mel, 1)

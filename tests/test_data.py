@@ -268,6 +268,28 @@ def test_ingest_batch_reused_out_buffer_and_trim(tmp_path, rng):
                               out=np.zeros((3, pad), np.float32))
 
 
+def test_ingest_batch_native_matches_python_readinto(tmp_path, rng,
+                                                     monkeypatch):
+    """akx_ingest_batch (one C call: header walk + pread per file) must be
+    byte-identical to the Python per-file readinto fallback, including
+    short-row zero tails and unused padding rows."""
+    from audio_key_estimation_tpu.native import binding
+    if binding.load_library() is None:
+        pytest.skip("native toolchain unavailable")
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"nv{i}.wav")
+        audio_io.write_wav(p, rng.uniform(-0.9, 0.9, 500 + 137 * i), 8000)
+        paths.append(p)
+    pad = 800
+    nat_b, nat_l, nat_r = audio_io.ingest_batch(paths, pad, n_rows=6)
+    monkeypatch.setattr(audio_io, "load_library", lambda: None)
+    py_b, py_l, py_r = audio_io.ingest_batch(paths, pad, n_rows=6)
+    np.testing.assert_array_equal(nat_b, py_b)
+    np.testing.assert_array_equal(nat_l, py_l)
+    assert nat_r == py_r
+
+
 def test_ingest_batch_fallback_non_pcm16(tmp_path, rng):
     """A non-mono/PCM16 member routes the whole batch through the decode
     fallback (float32 semantics preserved)."""

@@ -71,6 +71,49 @@ def test_predict_files_end_to_end(tmp_path):
         assert p.key_probs.shape == (12,)
 
 
+def test_predict_multi_scale_round_trip(tmp_path):
+    """A multi_scale checkpoint must serve through the two-scale ensemble
+    (reference models.py:1118-1189 has eval-only support; serving must not
+    silently build the single-scale model) and reject a config/params
+    architecture mismatch loudly."""
+    import os
+
+    import pytest
+
+    cfg = Config(octaves=4, num_layers=2, conv_layers=1, n_filters=2,
+                 kernel_size=3, head_layers=1, multi_scale=True,
+                 loc_window_size=1)
+    optimizer = make_optimizer(cfg, 1)
+    _, state = create_train_state(cfg, jax.random.PRNGKey(0), optimizer)
+    run_dir = str(tmp_path / "version_0")
+    os.makedirs(run_dir)
+    ckpt_lib.save(run_dir, state, cfg)
+
+    paths = []
+    for i, f in enumerate((261.6, 440.0)):
+        p = str(tmp_path / f"s{i}.wav")
+        sine_wav(p, f, seconds=3.0)
+        paths.append(p)
+
+    est = KeyEstimator.from_checkpoint(run_dir, bucket_seconds=(4,))
+    from audio_key_estimation_tpu.models import PitchClassNetMulti
+    assert isinstance(est.model, PitchClassNetMulti)
+    preds = est.predict_files(paths)
+    assert len(preds) == 2
+    for p in preds:
+        assert p.key and p.tonic in "C C# D D# E F F# G G# A A# B".split()
+
+    # local-mode serving through the ensemble
+    local = est.predict_files_local(paths)
+    assert len(local) == 2 and local[0].windows
+
+    # mismatched config (single-scale) against ensemble params -> loud error
+    with pytest.raises(ValueError, match="multi_scale"):
+        KeyEstimator(cfg.replace(multi_scale=False),
+                     {"params": state.params,
+                      "batch_stats": state.batch_stats})
+
+
 def test_predict_local_windows(tmp_path):
     """Local-mode serving: per-window key sequences with correct window
     timing (loc_window_size seconds every 1/frames seconds)."""
