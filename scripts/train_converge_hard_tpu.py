@@ -1,0 +1,245 @@
+"""Hard-benchmark convergence runs on the real TPU chip (VERDICT r1 item 1).
+
+Three phases over the polyphonic corpus (synthetic.polyphonic_wav: diatonic
+triad walks + melody, per-song timbres with train/val DISJOINT timbre ids,
+colored-noise bed, percussive distractors, tempo/velocity jitter):
+
+  global      flagship PitchClassNet, one key per song (GiantSteps layout)
+  local       per-window keys on MODULATING songs (Winterreise layout with
+              2-3 key segments per song; reference models.py:861-876)
+  multi_scale two-scale ensemble on the global corpus (models.py:1118-1189)
+
+Success bar (per phase): epoch-0 val MIREX near chance (< 0.2), final
+> 0.9, with the full correct/fifths/relative/parallel/other breakdown per
+epoch. Writes CONVERGE_<phase>.md. Run phases serially (one TPU process):
+
+    python scripts/train_converge_hard_tpu.py global [--pilot]
+    python scripts/train_converge_hard_tpu.py local  [--pilot]
+    python scripts/train_converge_hard_tpu.py multi_scale [--pilot]
+
+Corpora are cached under /tmp/akx_hard_corpus (regenerated only if absent).
+"""
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, ".jax_cache"))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+NOTE = ["C", "Db", "D", "Eb", "E", "F", "Gb", "G", "Ab", "A", "Bb", "B"]
+KEYS_GLOBAL = [f"{n} {m}" for m in ("major", "minor") for n in NOTE]
+# Winterreise-format spellings present in the loader vocabulary
+_WR_MAJ = ["C", "Db", "D", "Eb", "E", "F", "F#", "G", "Ab", "A", "Bb", "B"]
+_WR_MIN = ["C", "C#", "D", "Eb", "E", "F", "F#", "G", "G#", "A", "Bb", "B"]
+KEYS_WR = ([f"{n}:maj" for n in _WR_MAJ], [f"{n}:min" for n in _WR_MIN])
+
+CORPUS_ROOT = "/tmp/akx_hard_corpus"
+SECONDS = 60.0
+TRAIN_TIMBRES = list(range(8))         # train instruments
+VAL_TIMBRES = [100, 101, 102, 103]     # val instruments — DISJOINT
+
+
+def _wr_key_to_pc(key: str):
+    from audio_key_estimation_tpu.data.synthetic import NOTE_PC
+    note, mode = key.split(":")
+    return NOTE_PC[note.lower()], mode == "min"
+
+
+def build_global_corpus(pilot: bool):
+    from audio_key_estimation_tpu.data import synthetic
+    per_tr, per_va = (2, 1) if pilot else (10, 2)
+    sec = 30.0 if pilot else SECONDS
+    roots = {}
+    for tag, per_key, timbres, seed0 in (
+            ("tr", per_tr, TRAIN_TIMBRES, 0),
+            ("va", per_va, VAL_TIMBRES, 500_000)):
+        root = os.path.join(CORPUS_ROOT, f"global_{tag}{'_p' if pilot else ''}")
+        done = os.path.join(root, ".done")
+        roots[tag] = root
+        if os.path.exists(done):
+            continue
+        songs = [(f"{tag}{i}", 0.0, KEYS_GLOBAL[i % 24], "techno")
+                 for i in range(per_key * 24)]
+
+        def audio(path, key, idx, _s0=seed0, _tim=timbres, _sec=sec):
+            pc, minor = synthetic.key_to_pc(key)
+            synthetic.polyphonic_wav(
+                path, [(0.0, _sec, pc, minor)], seed=_s0 + idx,
+                timbre_id=_tim[idx % len(_tim)])
+
+        t0 = time.time()
+        synthetic.make_giantsteps_corpus(root, songs, audio_fn=audio)
+        open(done, "w").close()
+        print(f"generated {len(songs)} songs at {root} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    return roots["tr"], roots["va"]
+
+
+def build_local_corpus(pilot: bool):
+    """Modulating polyphonic songs with per-segment key CSVs."""
+    from audio_key_estimation_tpu.data import synthetic
+    n_tr, n_va = (12, 6) if pilot else (120, 24)
+    sec = 30.0 if pilot else SECONDS
+    maj, mnr = KEYS_WR
+    roots = {}
+    for tag, n_songs, timbres, seed0 in (
+            ("tr", n_tr, TRAIN_TIMBRES, 0),
+            ("va", n_va, VAL_TIMBRES, 700_000)):
+        root = os.path.join(CORPUS_ROOT, f"local_{tag}{'_p' if pilot else ''}")
+        done = os.path.join(root, ".done")
+        roots[tag] = root
+        if os.path.exists(done):
+            continue
+        rng = np.random.default_rng(seed0 + 12345)
+        songs, segments = [], {}
+        for i in range(n_songs):
+            name = ("HU33", f"D911-{tag}{i:03d}")
+            base_minor = bool(rng.integers(0, 2))
+            base_pc = int(rng.integers(0, 12))
+            # modulation chain: fifth up/down, relative, or parallel
+            n_seg = int(rng.integers(2, 4))
+            bounds = np.sort(rng.uniform(0.25, 0.75, n_seg - 1)) * sec
+            times = [0.0] + [float(b) for b in bounds] + [sec]
+            segs, pc, minor = [], base_pc, base_minor
+            for s in range(n_seg):
+                if s > 0:
+                    move = rng.choice(["fifth_up", "fifth_down", "relative",
+                                       "parallel"])
+                    if move == "fifth_up":
+                        pc = (pc + 7) % 12
+                    elif move == "fifth_down":
+                        pc = (pc + 5) % 12
+                    elif move == "relative":
+                        pc, minor = ((pc + 9) % 12, True) if not minor \
+                            else ((pc + 3) % 12, False)
+                    else:
+                        minor = not minor
+                key = mnr[pc] if minor else maj[pc]
+                segs.append((times[s], times[s + 1], key))
+            songs.append((*name, 0.0, segs[0][2]))
+            segments["_".join(name)] = segs
+        tim = {n: timbres[i % len(timbres)]
+               for i, (p, s, _, _) in enumerate(songs)
+               for n in [f"{p}_{s}"]}
+        seeds = {f"{p}_{s}": seed0 + i
+                 for i, (p, s, _, _) in enumerate(songs)}
+
+        def audio(path, name, segs, _tim=tim, _seeds=seeds):
+            psegs = [(s0, s1, *_wr_key_to_pc(k)) for s0, s1, k in segs]
+            synthetic.polyphonic_wav(path, psegs, seed=_seeds[name],
+                                     timbre_id=_tim[name])
+
+        t0 = time.time()
+        synthetic.make_winterreise_corpus(root, songs,
+                                          local_segments=segments,
+                                          seconds=sec, audio_fn=audio)
+        open(done, "w").close()
+        print(f"generated {len(songs)} modulating songs at {root} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+    return roots["tr"], roots["va"]
+
+
+def run_phase(phase: str, pilot: bool):
+    from audio_key_estimation_tpu.config import Config
+    from audio_key_estimation_tpu.data import loaders
+    from audio_key_estimation_tpu.data.dataset import KeyDataset
+    from audio_key_estimation_tpu.train.trainer import Trainer
+
+    dev = jax.devices()[0]
+    print(f"[{phase}] training on {dev.device_kind} ({dev.platform})",
+          flush=True)
+
+    epochs = 6 if pilot else 40
+    cfg = Config(octaves=8, num_layers=2, conv_layers=3, n_filters=4,
+                 kernel_size=7, head_layers=2, batch_size=8, acc_grad=1,
+                 epochs=epochs, frames=5, bucket_sizes=(512,), no_ckpt=True,
+                 early_stop_patience=epochs, lr=3e-4, reg=1e-4,
+                 local=(phase == "local"),
+                 multi_scale=(phase == "multi_scale"))
+
+    t0 = time.time()
+    if phase == "local":
+        tr_root, va_root = build_local_corpus(pilot)
+        tr_loader = loaders.SchubertWinterreiseLoader(tr_root, local=True)
+        va_loader = loaders.SchubertWinterreiseLoader(va_root, local=True)
+    else:
+        tr_root, va_root = build_global_corpus(pilot)
+        tr_loader = loaders.GiantStepsKeyLoader(tr_root)
+        va_loader = loaders.GiantStepsKeyLoader(va_root)
+    gen_s = time.time() - t0
+
+    t0 = time.time()
+    train_ds = KeyDataset(genre=False, cfg=cfg, blacklist_path="",
+                          use_cache=True)
+    train_ds.import_data(tr_loader, progress=False)
+    val_ds = KeyDataset(genre=False, cfg=cfg, blacklist_path="",
+                        use_cache=True)
+    val_ds.import_data(va_loader, progress=False)
+    prep_s = time.time() - t0
+    print(f"[{phase}] corpus gen {gen_s:.0f}s, preprocess {prep_s:.0f}s "
+          f"for {len(train_ds)}+{len(val_ds)} songs", flush=True)
+
+    trainer = Trainer(cfg, train_ds, val_ds, use_mesh=False)
+    t0 = time.time()
+    state, history = trainer.fit(seed=0)
+    fit_s = time.time() - t0
+
+    cats = ("correct", "fifths", "relative", "parallel", "other")
+    best = max(h.get("val_mirex", 0.0) for h in history)
+    ep0 = history[0].get("val_mirex", float("nan"))
+    lines = [
+        f"# Hard-benchmark convergence: {phase}",
+        "",
+        f"Device: **{dev.device_kind}** (`{dev.platform}`)"
+        + (" — PILOT RUN (reduced corpus/epochs)" if pilot else ""),
+        f"Corpus: {len(train_ds)} train / {len(val_ds)} val polyphonic "
+        f"songs ({SECONDS:.0f}s), diatonic triad walks + melody + "
+        "colored-noise bed + percussion, per-song tempo/velocity jitter, "
+        f"train timbres {TRAIN_TIMBRES} vs val timbres {VAL_TIMBRES} "
+        "(disjoint). "
+        + ("Songs modulate mid-song (2-3 key segments, per-window labels)."
+           if phase == "local" else "One key per song, all 24 keys."),
+        f"Flagship geometry, bs {cfg.batch_size}, lr {cfg.lr}, "
+        f"{cfg.epochs} epochs"
+        + (", two-scale ensemble (36+12 bins/oct)."
+           if phase == "multi_scale" else "."),
+        "",
+        "| epoch | train_loss | val_loss | val_mirex | correct | fifths "
+        "| relative | parallel | other |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for h in history:
+        lines.append(
+            f"| {h['epoch']} | {h.get('train_loss', float('nan')):.4f} | "
+            f"{h.get('val_loss', float('nan')):.4f} | "
+            f"{h.get('val_mirex', 0.0):.4f} | "
+            + " | ".join(f"{h.get('val_' + c, 0.0):.3f}" for c in cats)
+            + " |")
+    lines += [
+        "",
+        f"Epoch-0 val MIREX **{ep0:.4f}** (chance ≈ 0.104 over 24 keys); "
+        f"best **{best:.4f}**. Wall: fit {fit_s / 60:.1f} min, "
+        f"preprocess {prep_s:.0f}s.",
+    ]
+    out = os.path.join(REPO, f"CONVERGE_{phase.upper()}"
+                       + ("_PILOT" if pilot else "") + ".md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"[{phase}] epoch0 {ep0:.4f} best {best:.4f}; wrote {out}",
+          flush=True)
+
+
+if __name__ == "__main__":
+    phase = sys.argv[1] if len(sys.argv) > 1 else "global"
+    assert phase in ("global", "local", "multi_scale"), phase
+    run_phase(phase, pilot="--pilot" in sys.argv)

@@ -136,7 +136,10 @@ def test_train_and_eval_cli_debug(tmp_path, monkeypatch):
     assert results == {}  # no_test+debug: only validation printed
 
 
-def test_dryrun_multichip_8_devices():
+def test_dryrun_multichip_8_devices(monkeypatch):
+    # tiny geometry: the mesh/sharding machinery is what's under test; the
+    # driver runs the default FLAGSHIP geometry (~3 min XLA:CPU compile)
+    monkeypatch.setenv("AKX_DRYRUN_TINY", "1")
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
@@ -154,6 +157,7 @@ def test_dryrun_multichip_hostile_parent_env(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
     env["PYTHONPATH"] = "/root/repo"
+    env["AKX_DRYRUN_TINY"] = "1"
     script = (
         "import jax; assert len(jax.devices()) == 1, jax.devices();\n"
         "import __graft_entry__ as g; g.dryrun_multichip(8)\n"
