@@ -26,5 +26,8 @@ def compute_cqt(y: jax.Array, p: CQTParams, *,
     if use_pallas:
         from .cqt_pallas import cqt_pallas
         interpret = jax.devices()[0].platform != "tpu"
-        return cqt_pallas(y, p, interpret=interpret)
+        # conv_dtype doubles as the kernel's stream storage dtype (same
+        # role: response-path operand bytes)
+        return cqt_pallas(y, p, stream_dtype=jnp.dtype(conv_dtype),
+                          interpret=interpret)
     return cqt(y, p, conv_dtype=jnp.dtype(conv_dtype))

@@ -14,9 +14,10 @@ PitchClassNet (reference train_model.py defaults). The monolithic batch
 matters: v5e throughput on this model is per-tile-overhead-bound at small
 batch (PERFNOTES.md) — 256 clips at once is 3.5x faster than 8 scanned
 chunks of 16. Stage times (decode / cqt / model / fused pipeline) are
-reported per audio-minute. The fused Pallas front-end is timed only with
-AKX_BENCH_PALLAS=1 (it is documented slower than the XLA path —
-PERFNOTES.md — and its 2-minute compile would dominate driver runs).
+reported per audio-minute. Both front-ends are timed on TPU — the XLA
+strided-conv path and the sparse-window-DMA Pallas kernel (cqt_pallas.py,
+round-2 redesign: it reads only the frame windows from HBM) — and the
+headline uses whichever wins; AKX_BENCH_NO_PALLAS=1 skips the kernel.
 
 `value` is the fused device pipeline (CQT+model) on the best front-end —
 the driver-tracked headline. `vs_baseline` divides by the SAME JAX pipeline
@@ -195,8 +196,10 @@ def main():
     results = {}
     conv_dtype = jnp.dtype(cfg.cqt_conv_dtype)
     fronts = [("xla", lambda y, p: cqt(y, p, conv_dtype=conv_dtype))]
-    if os.environ.get("AKX_BENCH_PALLAS"):
-        fronts.insert(0, ("pallas", cqt_pallas))
+    if not os.environ.get("AKX_BENCH_NO_PALLAS"):
+        fronts.insert(0, ("pallas",
+                          lambda y, p: cqt_pallas(y, p,
+                                                  stream_dtype=conv_dtype)))
     for kind, front in fronts:
         if kind == "pallas" and dev.platform != "tpu":
             continue

@@ -69,10 +69,21 @@ def main():
             best = min(best, time.perf_counter() - t0)
             state2 = st
         per = best / ACC
+        # training MFU: XLA-reported FLOPs of the compiled step over the
+        # f32 MXU peak (49.2 TF/s on v5e; same convention as bench.py)
+        try:
+            ca = jax.jit(step).lower(state, batch).compile().cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            flops = float(ca.get("flops", 0.0))
+        except Exception as e:
+            log(f"cost_analysis unavailable: {e!r}")
+            flops = 0.0
+        mfu = flops / best / 49.2e12 if flops else float("nan")
         log(f"bs={bs:3d} (x{ACC} microbatches/dispatch): "
             f"{per * 1e3:7.1f} ms/microbatch -> {bs / per:6.1f} songs/s "
             f"({bs * 2 / per:7.1f} audio-min/s) full train step "
-            f"(compile {comp:.0f}s)")
+            f"(compile {comp:.0f}s, {flops / 1e9:.0f} GF/step, "
+            f"train MFU {mfu * 100:.1f}% of f32 peak)")
 
 
 if __name__ == "__main__":

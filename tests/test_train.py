@@ -246,3 +246,34 @@ def test_dropout_flag_trains_dense_blocks(tmp_path):
     l1, _ = ev(state, b)
     l2, _ = ev(state, b)
     assert float(l1) == float(l2)
+
+
+def test_window_size_mode_end_to_end(tmp_path):
+    """frames=0 (window_size) mode end-to-end: the per-file hop rule
+    (hop = len // window_size + 1, KeyDataset.py:485-499) takes a
+    different, non-batchable preprocessing path (dataset.py groups by
+    (sr, len)); features must come out truncated to exactly window_size
+    frames and train + eval must run finite on them."""
+    ws = 24
+    cfg = CFG.replace(frames=0, window_size=ws, bucket_sizes=(ws,),
+                      epochs=1, acc_grad=1, batch_size=4, no_ckpt=True)
+    keys = ["C major", "A minor", "G major", "D major"]
+    root = str(tmp_path / "gs")
+    # two generations with different durations -> per-file hops differ
+    synthetic.make_giantsteps_corpus(
+        root, [(f"a{i}", 220.0 * 2 ** (i / 12), keys[i % 4], "techno")
+               for i in range(4)], seconds=2.0)
+    synthetic.make_giantsteps_corpus(
+        root, [(f"b{i}", 260.0 * 2 ** (i / 12), keys[i % 4], "techno")
+               for i in range(4)], seconds=3.1)
+    ds = KeyDataset(genre=False, cfg=cfg, blacklist_path="", use_cache=False)
+    ds.import_data(loaders.GiantStepsKeyLoader(root), progress=False)
+    assert len(ds) == 8
+    for item in ds.items:
+        assert item["mel"].shape[1] <= ws  # truncated to window_size
+    assert ds.seq_length_max <= ws
+    trainer = Trainer(cfg, ds, ds, use_mesh=False)
+    state, history = trainer.fit(seed=0)
+    assert np.isfinite(history[0]["train_loss"])
+    assert np.isfinite(history[0]["val_loss"])
+    assert 0.0 <= history[0]["val_mirex"] <= 1.0
