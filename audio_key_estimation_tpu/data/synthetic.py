@@ -156,31 +156,51 @@ def polyphonic_wav(path: str, segments, *, sr: int = 22050, seed: int = 0,
     total = float(max(e for _, e, _, _ in segments))
     y = np.zeros(int(total * sr), np.float64)
     tim = _timbre(timbre_id)
-    beat = 60.0 / rng.uniform(70.0, 140.0)   # per-song tempo jitter
+    beat = 60.0 / rng.uniform(60.0, 160.0)   # per-song tempo jitter
+    # per-song global mistuning (±40 cents): real corpora are not at
+    # A440, and at 36 bins/octave this smears every partial across CQT
+    # bins — the model must learn tuning invariance, not bin lookup
+    tune = 2.0 ** (rng.uniform(-0.4, 0.4) / 12.0)
 
     for (s0, s1, tonic_pc, minor) in segments:
         rel_major = (tonic_pc + 3) % 12 if minor else tonic_pc
         pcs = [(rel_major + st) % 12 for st in _MAJOR_STEPS]
         deg_tonic = pcs.index(tonic_pc)
-        # chord track: functional walk opening and closing on the tonic
-        deg = deg_tonic
+        lead_deg = (deg_tonic + 6) % 7          # scale step below the tonic
+        # chord track: FUNCTIONAL walk — _CHORD_TRANS is indexed by degree
+        # RELATIVE TO THE TONIC (0 = home chord), so minor songs center on
+        # their own tonic, not the relative major. Minor mode is marked the
+        # way real music marks it: the dominant chord carries the raised
+        # leading tone (harmonic minor) — the one pitch class that
+        # distinguishes a minor key from its relative major.
+        rel = 0                                 # start on the tonic chord
         t = s0
         while t < s1:
             dur = beat * int(rng.integers(1, 3))
             if t + dur >= s1 - beat:            # cadence: close on tonic
-                deg = deg_tonic
-            root = pcs[(deg) % 7]
+                rel = 0
+            deg = (deg_tonic + rel) % 7
+            root = pcs[deg]
             third = pcs[(deg + 2) % 7]
             fifth = pcs[(deg + 4) % 7]
+            if minor and rel == 4:              # V of minor: leading tone
+                third = (third + 1) % 12
+            shift = 0
+            if rel not in (0,) and rng.uniform() < 0.12:
+                # borrowed/chromatic-planing chord: whole triad off-key by
+                # a semitone — key-neutral harmonic distractor
+                shift = int(rng.choice([-1, 1]))
             vel = rng.uniform(0.10, 0.22)
             for pc, octave in ((root, 2), (root, 3), (third, 3), (fifth, 3)):
-                f0 = 440.0 * 2.0 ** ((pc - 9) / 12.0 + (octave - 4))
+                f0 = (440.0 * tune
+                      * 2.0 ** (((pc + shift) - 9) / 12.0 + (octave - 4)))
                 _render_note(y, sr, f0, t, dur * rng.uniform(0.85, 1.0),
                              vel * rng.uniform(0.8, 1.2), tim, rng)
-            w = _CHORD_TRANS[deg] / _CHORD_TRANS[deg].sum()
-            deg = int(rng.choice(7, p=w))
+            w = _CHORD_TRANS[rel] / _CHORD_TRANS[rel].sum()
+            rel = int(rng.choice(7, p=w))
             t += dur
-        # melody: scale-degree random walk on the half-beat grid
+        # melody: scale-degree random walk on the half-beat grid, with the
+        # harmonic-minor leading tone raised most of the time
         mdeg = deg_tonic + 7                    # around octave 5
         t = s0
         while t < s1:
@@ -188,8 +208,12 @@ def polyphonic_wav(path: str, segments, *, sr: int = 22050, seed: int = 0,
                 mdeg += int(rng.choice([-2, -1, -1, 1, 1, 2]))
                 mdeg = int(np.clip(mdeg, 3, 17))
                 pc = pcs[mdeg % 7]
+                if minor and mdeg % 7 == lead_deg and rng.uniform() < 0.7:
+                    pc = (pc + 1) % 12
+                elif rng.uniform() < 0.06:      # chromatic passing tone
+                    pc = (pc + int(rng.choice([-1, 1]))) % 12
                 octave = 4 + mdeg // 7
-                f0 = 440.0 * 2.0 ** ((pc - 9) / 12.0 + (octave - 4))
+                f0 = 440.0 * tune * 2.0 ** ((pc - 9) / 12.0 + (octave - 4))
                 _render_note(y, sr, f0, t, 0.5 * beat * rng.uniform(0.7, 1.0),
                              rng.uniform(0.08, 0.20), tim, rng)
             t += 0.5 * beat
@@ -212,7 +236,7 @@ def polyphonic_wav(path: str, segments, *, sr: int = 22050, seed: int = 0,
     a = 0.98
     pink = lfilter([1.0 - a], [1.0, -a], white)
     sig_rms = np.sqrt(np.mean(y ** 2)) + 1e-12
-    snr = snr_db if snr_db is not None else rng.uniform(8.0, 20.0)
+    snr = snr_db if snr_db is not None else rng.uniform(4.0, 14.0)
     noise_rms = sig_rms / (10.0 ** (snr / 20.0))
     pink *= noise_rms / (np.sqrt(np.mean(pink ** 2)) + 1e-12)
     y = y + pink

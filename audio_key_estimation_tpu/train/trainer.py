@@ -257,7 +257,8 @@ class Trainer:
     log_dir: Optional[str] = None
     use_mesh: bool = True
 
-    def fit(self, seed: int = 0, metrics_writer=None, resume: bool = False):
+    def fit(self, seed: int = 0, metrics_writer=None, resume: bool = False,
+            eval_at_start: bool = False):
         cfg = self.cfg
         micro_bs = cfg.batch_size
         step_items = micro_bs * cfg.acc_grad
@@ -289,6 +290,19 @@ class Trainer:
             best_val_loss = extra.get("best_val_loss", float("inf"))
             print(f"resumed from epoch {last_epoch}", flush=True)
         from ..data.pipeline import prefetch
+
+        if eval_at_start and start_epoch == 0:
+            # untrained-model validation (epoch -1): the chance floor the
+            # learning curves are judged against
+            val = evaluate(eval_step, state, self.val_data, micro_bs, mesh)
+            row = {"epoch": -1, "train_loss": float("nan"),
+                   "epoch_seconds": 0.0,
+                   **{f"val_{k}": v for k, v in val.items()}}
+            history.append(row)
+            if metrics_writer is not None:
+                metrics_writer(row)
+            print(f"epoch -1 (untrained): val_loss={val['loss']:.4f} "
+                  f"val_mirex={val.get('mirex', 0):.4f}", flush=True)
 
         def device_batches(epoch):
             """Reshape + H2D shard on the producer thread so host-side batch

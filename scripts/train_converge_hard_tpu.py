@@ -46,7 +46,7 @@ KEYS_WR = ([f"{n}:maj" for n in _WR_MAJ], [f"{n}:min" for n in _WR_MIN])
 CORPUS_ROOT = "/tmp/akx_hard_corpus"
 SECONDS = 60.0
 TRAIN_TIMBRES = list(range(8))         # train instruments
-VAL_TIMBRES = [100, 101, 102, 103]     # val instruments — DISJOINT
+VAL_TIMBRES = [100, 101, 102, 103, 104, 105]  # val — DISJOINT
 
 
 def _wr_key_to_pc(key: str):
@@ -159,11 +159,13 @@ def run_phase(phase: str, pilot: bool):
     print(f"[{phase}] training on {dev.device_kind} ({dev.platform})",
           flush=True)
 
-    epochs = 6 if pilot else 40
+    epochs = 6 if pilot else 30
     cfg = Config(octaves=8, num_layers=2, conv_layers=3, n_filters=4,
-                 kernel_size=7, head_layers=2, batch_size=8, acc_grad=1,
+                 kernel_size=7, head_layers=2,
+                 batch_size=8 if pilot else 16, acc_grad=1,
                  epochs=epochs, frames=5, bucket_sizes=(512,), no_ckpt=True,
-                 early_stop_patience=epochs, lr=3e-4, reg=1e-4,
+                 early_stop_patience=epochs if pilot else 10,
+                 lr=3e-4, reg=1e-4,
                  local=(phase == "local"),
                  multi_scale=(phase == "multi_scale"))
 
@@ -191,12 +193,12 @@ def run_phase(phase: str, pilot: bool):
 
     trainer = Trainer(cfg, train_ds, val_ds, use_mesh=False)
     t0 = time.time()
-    state, history = trainer.fit(seed=0)
+    state, history = trainer.fit(seed=0, eval_at_start=True)
     fit_s = time.time() - t0
 
     cats = ("correct", "fifths", "relative", "parallel", "other")
     best = max(h.get("val_mirex", 0.0) for h in history)
-    ep0 = history[0].get("val_mirex", float("nan"))
+    ep0 = history[0].get("val_mirex", float("nan"))  # epoch -1: untrained
     lines = [
         f"# Hard-benchmark convergence: {phase}",
         "",
@@ -227,7 +229,8 @@ def run_phase(phase: str, pilot: bool):
             + " |")
     lines += [
         "",
-        f"Epoch-0 val MIREX **{ep0:.4f}** (chance ≈ 0.104 over 24 keys); "
+        f"Untrained (epoch -1) val MIREX **{ep0:.4f}** "
+        "(chance ≈ 0.104 over 24 keys); "
         f"best **{best:.4f}**. Wall: fit {fit_s / 60:.1f} min, "
         f"preprocess {prep_s:.0f}s.",
     ]
