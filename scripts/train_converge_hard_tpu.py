@@ -88,8 +88,11 @@ def build_global_corpus(pilot: bool):
 def build_local_corpus(pilot: bool):
     """Modulating polyphonic songs with per-segment key CSVs."""
     from audio_key_estimation_tpu.data import synthetic
-    n_tr, n_va = (12, 6) if pilot else (120, 24)
-    sec = 30.0 if pilot else SECONDS
+    n_tr, n_va = (12, 6) if pilot else (240, 32)
+    # longer songs + widely separated boundaries: a 10s window overlapping
+    # a modulation is intrinsically ambiguous, so segment length controls
+    # the achievable ceiling, not the task's difficulty
+    sec = 30.0 if pilot else 90.0
     maj, mnr = KEYS_WR
     roots = {}
     for tag, n_songs, timbres, seed0 in (
@@ -108,7 +111,11 @@ def build_local_corpus(pilot: bool):
             base_pc = int(rng.integers(0, 12))
             # modulation chain: fifth up/down, relative, or parallel
             n_seg = int(rng.integers(2, 4))
-            bounds = np.sort(rng.uniform(0.25, 0.75, n_seg - 1)) * sec
+            # boundaries in the middle band, >= 20s apart
+            while True:
+                bounds = np.sort(rng.uniform(0.22, 0.78, n_seg - 1)) * sec
+                if n_seg < 3 or np.diff(bounds).min() >= 20.0:
+                    break
             times = [0.0] + [float(b) for b in bounds] + [sec]
             segs, pc, minor = [], base_pc, base_minor
             for s in range(n_seg):
@@ -159,7 +166,7 @@ def run_phase(phase: str, pilot: bool):
     print(f"[{phase}] training on {dev.device_kind} ({dev.platform})",
           flush=True)
 
-    epochs = 6 if pilot else 30
+    epochs = 6 if pilot else (45 if phase == "local" else 30)
     cfg = Config(octaves=8, num_layers=2, conv_layers=3, n_filters=4,
                  kernel_size=7, head_layers=2,
                  batch_size=8 if pilot else 16, acc_grad=1,
