@@ -212,7 +212,8 @@ def run_phase(phase: str, pilot: bool):
         f"Device: **{dev.device_kind}** (`{dev.platform}`)"
         + (" — PILOT RUN (reduced corpus/epochs)" if pilot else ""),
         f"Corpus: {len(train_ds)} train / {len(val_ds)} val polyphonic "
-        f"songs ({SECONDS:.0f}s), diatonic triad walks + melody + "
+        f"songs ({(90 if phase == 'local' else SECONDS):.0f}s), "
+        "diatonic triad walks + melody + "
         "colored-noise bed + percussion, per-song tempo/velocity jitter, "
         f"train timbres {TRAIN_TIMBRES} vs val timbres {VAL_TIMBRES} "
         "(disjoint). "
