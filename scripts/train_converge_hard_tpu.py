@@ -166,12 +166,16 @@ def run_phase(phase: str, pilot: bool):
     print(f"[{phase}] training on {dev.device_kind} ({dev.platform})",
           flush=True)
 
-    epochs = 6 if pilot else (45 if phase == "local" else 30)
+    # local: early stop monitors val_loss (reference train_model.py:110),
+    # which bottoms out ~10 epochs before val MIREX stops climbing on the
+    # modulating corpus — give it more rope
+    epochs = 6 if pilot else (80 if phase == "local" else 30)
     cfg = Config(octaves=8, num_layers=2, conv_layers=3, n_filters=4,
                  kernel_size=7, head_layers=2,
                  batch_size=8 if pilot else 16, acc_grad=1,
                  epochs=epochs, frames=5, bucket_sizes=(512,), no_ckpt=True,
-                 early_stop_patience=epochs if pilot else 10,
+                 early_stop_patience=(epochs if pilot
+                                      else 25 if phase == "local" else 10),
                  lr=3e-4, reg=1e-4,
                  local=(phase == "local"),
                  multi_scale=(phase == "multi_scale"))
