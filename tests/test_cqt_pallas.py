@@ -1,7 +1,16 @@
-"""Fused Pallas CQT kernel vs the pure-JAX reference implementation.
+"""Fused frame-table Pallas CQT kernel vs the pure-JAX reference.
 
 Runs in Pallas interpreter mode on CPU; the same kernel compiles for TPU
-(exercised by bench.py / __graft_entry__ on hardware).
+(exercised by bench.py / scripts/microbench_pallas_sparse.py on hardware).
+
+The kernel addresses HBM by per-frame window starts (a scalar-prefetched
+static table), so unlike the earlier stream-layout designs it has no
+stride >= n_fft constraint: it engages at EVERY geometry, including
+few-octave configs (octaves=4 => n_fft=8192) whose overlapping windows
+previously forced an XLA fallback. Tests cover the flagship 8-octave
+geometry (multi-tile grids — an earlier single-tile-only suite hid a
+real-TPU index_map bug), the large-n_fft geometry, int16 PCM, bf16
+streams, and odd batch padding.
 """
 
 import jax.numpy as jnp
@@ -11,7 +20,10 @@ from audio_key_estimation_tpu.ops.cqt import CQTParams, cqt
 from audio_key_estimation_tpu.ops.cqt_pallas import cqt_pallas
 
 SR = 22050
-P = CQTParams(sr=SR, hop=4410, bins_per_octave=36, octaves=4)
+# flagship front-end geometry (Config defaults): n_fft=512
+P = CQTParams(sr=SR, hop=4410, bins_per_octave=36, octaves=8)
+# large-kernel geometry: n_fft=8192 > hop, heavily overlapping windows
+P_BIG_FFT = CQTParams(sr=SR, hop=4410, bins_per_octave=36, octaves=4)
 
 
 def _sine(freq, seconds=2.0):
@@ -31,6 +43,27 @@ def test_pallas_noise_input(rng):
     y = rng.normal(size=(1, SR)).astype(np.float32)
     ref = np.asarray(cqt(jnp.asarray(y), P))
     got = np.asarray(cqt_pallas(jnp.asarray(y), P, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_multi_tile_grid(rng):
+    """B=48 (two batch tiles after padding to 32) x 8s (multiple time
+    tiles): non-trivial block indices on both grid axes. This is the case
+    that catches index_map argument-order mistakes (grid indices first,
+    scalar-prefetch refs last) which single-tile tests cannot see."""
+    y = rng.normal(size=(48, 8 * SR)).astype(np.float32)
+    ref = np.asarray(cqt(jnp.asarray(y), P))
+    got = np.asarray(cqt_pallas(jnp.asarray(y), P, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_large_nfft_overlapping_windows(rng):
+    """octaves=4 => n_fft=8192 with hop 4410: windows overlap and the
+    VMEM budget drops tile_t below its cap. The frame-table kernel
+    handles this geometry (the stream-layout ancestors could not)."""
+    y = np.stack([_sine(440.0)])
+    ref = np.asarray(cqt(jnp.asarray(y), P_BIG_FFT))
+    got = np.asarray(cqt_pallas(jnp.asarray(y), P_BIG_FFT, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
