@@ -81,7 +81,11 @@ class Config:
     mesh_axes: tuple = ("data",)
     remat: bool = False             # jax.checkpoint the trunk (dense blocks use it anyway)
     bucket_sizes: tuple = (512, 1024, 2048, 4096)  # time-frame padding buckets
-    use_pallas_cqt: bool = False    # fused Pallas CQT kernel vs pure-XLA path
+    # CQT front-end implementation: "auto" = the fused Pallas kernel on
+    # TPU (it beats the XLA path there — PERFNOTES.md), XLA elsewhere;
+    # "on"/"off" force it (off-TPU "on" runs the kernel in interpret
+    # mode: test rigs only). Legacy checkpoints with booleans load fine.
+    use_pallas_cqt: Any = "auto"    # "auto" | "on" | "off" (bool accepted)
     # CQT response-conv operand storage. bf16 halves the front-end's HBM
     # traffic at <0.2% relative feature error (the TPU MXU decomposes f32
     # convs to bf16 operands anyway); float32 is the oracle-pinned path.
@@ -105,6 +109,23 @@ class Config:
 
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)
+
+    def pallas_cqt_enabled(self, platform: str | None = None) -> bool:
+        """Resolve use_pallas_cqt against the execution platform.
+
+        platform=None queries the default jax backend. Used by dataset
+        preprocessing, serving and bench (and as the feature-cache
+        variant key, so caches computed under different backends never
+        collide)."""
+        v = self.use_pallas_cqt
+        if isinstance(v, str):
+            v = v.lower()
+        if v in ("auto", None):
+            if platform is None:
+                import jax
+                platform = jax.devices()[0].platform
+            return platform == "tpu"
+        return v in (True, "on", "true", "1")
 
     # ---- (de)serialization: stored inside every checkpoint ----
     def to_json(self) -> str:

@@ -44,7 +44,7 @@ def cache_path(file_path: str, cfg: Config, bins_per_octave: int) -> str:
     if cfg.cqt_conv_dtype != "float32":
         fe += "_bf16cq" if cfg.cqt_conv_dtype == "bfloat16" \
             else f"_{cfg.cqt_conv_dtype}cq"
-    if cfg.use_pallas_cqt:
+    if cfg.pallas_cqt_enabled():
         fe += "_pallas"
     return (f"{stem}.akx_{cfg.octaves}oct_{cfg.frames}f_"
             f"{bins_per_octave}bpo{fe}.npz")
@@ -188,7 +188,7 @@ class KeyDataset:
                                    octaves=cfg.octaves)
                 mels_by_bpo[bpo] = np.asarray(
                     compute_cqt(jax.numpy.asarray(batch), params,
-                                use_pallas=cfg.use_pallas_cqt,
+                                use_pallas=cfg.pallas_cqt_enabled(),
                                 conv_dtype=cfg.cqt_conv_dtype))
             for i, (fn, loader, s) in enumerate(group):
                 t = 1 + len(s) // hop

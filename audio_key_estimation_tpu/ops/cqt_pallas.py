@@ -1,35 +1,46 @@
-"""Fused Pallas TPU kernel for the CQT octave response — frame-table DMA.
+"""Fused Pallas TPU kernel for the CQT octave response — time-major
+frame-table DMA. First front-end design to beat the pure-XLA path on
+hardware (+12.6% cqt-alone at bench geometry, TPU v5e, B=256).
 
 Replaces the reference's librosa C-FFT per-file loop (KeyDataset.py:490-494)
-on the device side; the polyphase downsample cascade stays in XLA (it needs
-every sample; ops/cqt.py::downsample2 already runs it on the MXU).
+on the device side; the polyphase downsample cascade runs in XLA time-major
+(downsample2_tm — it needs every sample, and as a block matmul it already
+lives on the MXU).
 
-Why a fourth design. Rounds 1-3 all organized the octave response around
-the *stream* decomposition of the frame centers (ops/cqt.py::stream_plan),
-either materializing streams in HBM (r1/r2) or DMA-ing per-stream windows
-(r3, sparse-window). But streams only matter to the XLA path, which needs
-integer-strided slices; a kernel addressing HBM directly needs only the
-FRAME START of each window, and those are **static host-side integers**
-(start(t) = round(t*hop/2**o), reflect-pad offset included). The r3 kernel
-paid for the stream detour: its (B/8, q, tq_pad/tile_t) grid exploded to
-~4,200 steps at bench geometry — at high octaves q reaches 64 while only
-~41 real frames exist, so tq pads 8-12x — and measured ~17 us/step of DMA
-issue+wait latency against a ~1 ms traffic floor (215 MB of windows).
+Design history (PERFNOTES.md "Pallas CQT kernel status"):
 
-This kernel takes a flat scalar-prefetched table of per-frame window
-starts (padded entries repeat the last start; their rows are sliced away
-by the caller). Grid is (B/32, T_pad/8): ~500 steps at bench geometry,
-fat DMAs (32 batch rows x one window each), no stream padding, and no
-stride >= n_fft constraint — ANY hop/octave geometry works, overlapping
-windows included. Each step fuses in VMEM:
+* r1/r2 (stream-layout): materialized the octave streams in HBM before a
+  fused slice+matmul+mag+log1p kernel — lost ~48% to XLA, which fuses the
+  stream construction into its response einsums without materializing.
+* r3 (sparse-window): kept the signal in HBM (ANY) and DMA'd only the
+  per-stream frame windows. Never actually ran on hardware until round 2
+  fixed an index_map argument-order bug its octaves=4 interpret tests had
+  masked (every stream_plan was None there, silently exercising the XLA
+  fallback) — then lost ~15%: the (B/8, q, tq_pad/tile_t) grid exploded
+  to ~4,200 steps (q reaches 64 at octave 7 for ~41 real frames).
+* v4 (frame-table): dropped the stream decomposition — per-frame window
+  starts are static host integers, scalar-prefetched as one flat table.
+  ~500 grid steps, any hop/octave geometry. Still lost ~14%: batch-major
+  (tile_b, win) DMAs are 32 scattered ~2.5 KB row segments each (rows are
+  Lpad-strided in HBM) — ~100 K descriptor-bound segments per bench step
+  against a ~1 ms traffic floor.
+* v5 (this file, time-major): the signal lives as (L, B); one frame
+  window is a single CONTIGUOUS (win, B) block, so each DMA moves
+  ~0.5 MB linearly and the response stage runs ~50 fat grid steps. The
+  cascade runs time-major too (same samples, block axis leading) so
+  streams never transpose; only the raw input transposes once and the
+  final (T, bins, B) output transposes back.
 
-    8 aligned window DMAs (32, n_fft+128)    [HBM -> VMEM]
-    dynamic-rotate to the true start          [tpu.dynamic_rotate]
-    [cos|sin] matmul (MXU) -> magnitude -> per-bin scale -> log1p
+Per grid step the kernel fuses in VMEM:
+
+    tile_t aligned window DMAs (win, B)       [HBM -> VMEM, contiguous]
+    dynamic-rotate rows to the true start      [tpu.dynamic_rotate]
+    [cos|sin]^T matmul (MXU, lane-concatenated frames)
+    -> magnitude -> per-bin scale -> log1p
 
 Window starts are arbitrary sample offsets, which Mosaic cannot slice on
-the 128-lane-tiled minor dim; each DMA therefore fetches the window
-rounded down to a 128 boundary (_ALIGN wider) and the kernel rotates
+a tiled dim; each DMA therefore fetches the window rounded down to the
+sublane tile boundary (_ALIGN_TM wider) and the kernel rotates
 in-register. int16 (raw PCM) top octaves and bfloat16 stream storage DMA
 at half the bytes; the matmul accumulates in float32 either way.
 """
@@ -45,95 +56,123 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .cqt import CQTParams, downsample2, halfband_taps, kernel_bank
+from .cqt import CQTParams, halfband_taps, kernel_bank
 
-# Mosaic can only reason about lane-dim (minor) slice offsets that are
-# provably multiples of the 128-lane tiling; frame windows start at
-# arbitrary sample offsets, so each DMA fetches a 128-aligned window
-# _ALIGN wider than n_fft and the kernel rotates to the true offset
-# in-register (tpu.dynamic_rotate via pltpu.roll).
-_ALIGN = 128
-# batch rows per grid step: a multiple of 16 so 2-byte dtypes (int16 PCM,
-# bf16 streams) keep packed-sublane slice alignment, and wide enough that
-# one DMA moves a fat (rows x window) block.
-_TILE_B = 32
+# sublane alignment for time-major window slices: f32 tiles 8 sublanes,
+# 2-byte dtypes pack two per sublane word => 16 covers both.
+_ALIGN_TM = 16
 # frames per grid step (DMA chain length); shrinks when n_fft is so large
 # that tile_t windows would not fit the VMEM scratch budget.
 _TILE_T = 8
 _VMEM_BUDGET = 4 << 20
 
 
-def _tile_t(win: int, itemsize: int) -> int:
-    return max(1, min(_TILE_T, _VMEM_BUDGET // (_TILE_B * win * itemsize)))
+def downsample2_tm(y: jax.Array, taps, *, out_scale: float = 1.0):
+    """Time-major halfband decimate: (L, B) -> (ceil(L/2), B).
+
+    Same polyphase block matmul as ops.cqt.downsample2 (identical samples,
+    f32 summation order may differ) with the block axis leading, so the
+    MXU contraction emits time-major output directly — no transpose pass.
+    """
+    from .cqt import _POLY_BLOCK, _poly_matrix
+
+    taps = np.asarray(taps, np.float32)
+    n_taps = taps.shape[0]
+    pad = n_taps // 2
+    block = _POLY_BLOCK
+    out_block = block // 2
+    integer_in = jnp.issubdtype(y.dtype, jnp.integer)
+    w = jnp.asarray(_poly_matrix(taps, block))
+    if out_scale != 1.0:
+        w = w * out_scale
+    L, b = y.shape
+    nb = -(-L // block)
+    out_len = (L - 1) // 2 + 1
+    yp = jnp.pad(y, ((pad, nb * block + block + pad - L), (0, 0)))
+    a = yp[: nb * block].reshape(nb, block, b)
+    tail = yp[block: block + nb * block].reshape(nb, block, b)[:, : 2 * pad]
+    window = jnp.concatenate([a, tail], axis=1)    # (nb, block+2*pad, b)
+    out_dtype = jnp.float32 if integer_in else window.dtype
+    if window.dtype != jnp.float32:
+        # f32 matmul operands: XLA:TPU fuses the convert into the matmul
+        # read (traffic stays at the stored width); XLA:CPU's DotThunk
+        # cannot execute bf16 x bf16 contractions at all
+        window = window.astype(jnp.float32)
+    out = jnp.einsum("nwb,wm->nmb", window, w,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(nb * out_block, b)[:out_len].astype(out_dtype)
+
+
+def _tile_t(win: int, n_lanes: int, itemsize: int) -> int:
+    return max(1, min(_TILE_T, _VMEM_BUDGET // (win * n_lanes * itemsize)))
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_fft", "t_pad", "tile_t", "interpret"))
-def _octave_response_frames(ypad, starts, kmat, scales, *, n_fft: int,
+def _octave_response_frames(ypadT, starts, kmat_t, scales, *, n_fft: int,
                             t_pad: int, tile_t: int,
                             interpret: bool = False):
-    """(B, Lpad) padded octave signal -> (B, t_pad, bpo) fused
-    log1p-magnitude responses, reading only the frame windows from HBM.
+    """(Lpad, B) time-major padded octave signal -> (t_pad, bpo, B) fused
+    log1p-magnitude responses; each window is one contiguous DMA.
 
-    B must be a multiple of _TILE_B and t_pad of tile_t (caller pads).
-    `starts` are window starts into ypad; every entry must satisfy
-    start + n_fft + _ALIGN <= Lpad (caller pads the signal and repeats
-    the last start for table padding).
+    B must be a multiple of 128 (the caller lane-pads) and t_pad of
+    tile_t (the caller pads `starts` by repeating the last entry); every
+    start must satisfy start + n_fft + _ALIGN_TM <= Lpad.
     """
-    B, Lpad = ypad.shape
-    bpo = kmat.shape[1] // 2
-    in_dtype = ypad.dtype
-    tile_b = _TILE_B
-    grid = (B // tile_b, t_pad // tile_t)
-    win = n_fft + _ALIGN
+    Lpad, B = ypadT.shape
+    bpo = kmat_t.shape[0] // 2
+    in_dtype = ypadT.dtype
+    grid = (t_pad // tile_t,)
+    win = n_fft + _ALIGN_TM
 
     def kernel(st_ref, ypad_ref, kmat_ref, scales_ref, out_ref,
                frames, sems):
-        bi = pl.program_id(0)
-        ti = pl.program_id(1)
+        ti = pl.program_id(0)
         copies = []
         rems = []
         for j in range(tile_t):
             off = st_ref[ti * tile_t + j]
-            off_al = pl.multiple_of(off // _ALIGN * _ALIGN, _ALIGN)
+            off_al = pl.multiple_of(off // _ALIGN_TM * _ALIGN_TM, _ALIGN_TM)
             rems.append(off - off_al)
             copies.append(pltpu.make_async_copy(
-                ypad_ref.at[pl.ds(bi * tile_b, tile_b), pl.ds(off_al, win)],
-                frames.at[j], sems.at[j]))
+                ypad_ref.at[pl.ds(off_al, win)], frames.at[j], sems.at[j]))
         for c in copies:
             c.start()
         for c in copies:
             c.wait()
-        rows = []
+        cols = []
         for j in range(tile_t):
-            # left-rotate by rem == right-rotate by win - rem (roll needs a
-            # non-negative shift); rem < _ALIGN so [:n_fft] never wraps
+            # rows (time) are the sublane dim: rotate sublanes left by rem
+            # == right by win - rem (roll needs a non-negative shift);
+            # rem < _ALIGN_TM so [:n_fft] never wraps
             buf = frames[j].astype(jnp.float32)
-            rows.append(pltpu.roll(buf, win - rems[j], 1)[:, :n_fft])
-        fr = jnp.stack(rows, axis=1).reshape(tile_b * tile_t, n_fft)
-        r = jnp.dot(fr, kmat_ref[:], preferred_element_type=jnp.float32)
-        cc = r[:, :bpo]
-        ss = r[:, bpo:]
+            cols.append(pltpu.roll(buf, win - rems[j], 0)[:n_fft])
+        fr = jnp.concatenate(cols, axis=1)          # (n_fft, tile_t*B)
+        r = jnp.dot(kmat_ref[:], fr, preferred_element_type=jnp.float32)
+        cc = r[:bpo]
+        ss = r[bpo:]
         mag = jnp.sqrt(cc * cc + ss * ss) * scales_ref[:]
-        out_ref[...] = jnp.log1p(mag).reshape(tile_b, tile_t, bpo)
+        lg = jnp.log1p(mag)                         # (bpo, tile_t*B)
+        for j in range(tile_t):
+            out_ref[j] = lg[:, j * B:(j + 1) * B]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,          # frame-start table
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),       # ypad stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # kmat
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # scales
+            pl.BlockSpec(memory_space=pl.ANY),       # ypadT stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # kmat_t
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # scales (bpo, 1)
         ],
         out_specs=pl.BlockSpec(
-            (tile_b, tile_t, bpo),
+            (tile_t, bpo, B),
             # index_map args are (*grid_indices, *scalar_prefetch_refs) —
             # the starts ref rides LAST and is unused for the out index
-            lambda b, t, s: (b, t, 0)),
+            lambda t, s: (t, 0, 0)),
         scratch_shapes=[
             # leading (untiled) dim is the frame index so each DMA's
-            # destination frames.at[j] never slices the tiled sublane dim
-            pltpu.VMEM((tile_t, tile_b, win), in_dtype),
+            # destination frames.at[j] never slices a tiled dim
+            pltpu.VMEM((tile_t, win, B), in_dtype),
             pltpu.SemaphoreType.DMA((tile_t,)),
         ],
     )
@@ -142,15 +181,15 @@ def _octave_response_frames(ypad, starts, kmat, scales, *, n_fft: int,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, t_pad, bpo), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, bpo, B), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * frames_total * n_fft * 2 * bpo,
-            bytes_accessed=(frames_total * win * in_dtype.itemsize
-                            + kmat.size * 4 + frames_total * bpo * 4),
+            bytes_accessed=(t_pad * win * B * in_dtype.itemsize
+                            + kmat_t.size * 4 + frames_total * bpo * 4),
             transcendentals=2 * frames_total * bpo,
         ),
         interpret=interpret,
-    )(starts, ypad, kmat, scales)
+    )(starts, ypadT, kmat_t, scales)
 
 
 def _frame_starts(hop: int, octave: int, n_frames: int) -> list[int]:
@@ -161,17 +200,17 @@ def _frame_starts(hop: int, octave: int, n_frames: int) -> list[int]:
     return [math.floor(t * hop / 2 ** octave + 0.5) for t in range(n_frames)]
 
 
-def _pad_signal_for_starts(cur, starts, n_fft):
+def _pad_signal_for_starts(curT, starts, n_fft):
     """Reflect-pad like librosa's centered frames, then zero-extend so the
-    LAST frame's ALIGNED window (start rounded down to the 128-lane
-    boundary, _ALIGN wider) is in range. Width rounds up to a multiple of
-    _ALIGN."""
+    LAST frame's ALIGNED window (start rounded down to the sublane tile
+    boundary, _ALIGN_TM wider) is in range. Length rounds up to a
+    multiple of _ALIGN_TM."""
     half = n_fft // 2
-    need = starts[-1] + n_fft + _ALIGN
-    need = -(-need // _ALIGN) * _ALIGN
-    ypad = jnp.pad(cur, ((0, 0), (half, half + 1)), mode="reflect")
-    if ypad.shape[1] < need:
-        ypad = jnp.pad(ypad, ((0, 0), (0, need - ypad.shape[1])))
+    need = starts[-1] + n_fft + _ALIGN_TM
+    need = -(-need // _ALIGN_TM) * _ALIGN_TM
+    ypad = jnp.pad(curT, ((half, half + 1), (0, 0)), mode="reflect")
+    if ypad.shape[0] < need:
+        ypad = jnp.pad(ypad, ((0, need - ypad.shape[0]), (0, 0)))
     return ypad
 
 
@@ -180,12 +219,15 @@ def cqt_pallas(y: jax.Array, p: CQTParams, *,
                interpret: bool = False) -> jax.Array:
     """Batched fused log1p-CQT: (B, L) -> (B, n_bins, T).
 
-    Same semantics as ops.cqt.cqt(..., log1p=True). The half-band polyphase
-    cascade runs in XLA; each octave's frame read + filterbank + magnitude
-    + scale + log1p runs as the frame-table Pallas kernel. int16 input
-    (raw PCM) is DMA'd as int16 for the top octave with the normalization
-    folded into the scale epilogue. stream_dtype=bfloat16 stores the
-    downsampled octave signals (and their DMAs) at half the bytes.
+    Same semantics as ops.cqt.cqt(..., log1p=True). The input transposes
+    to (L, B) once on device; the half-band polyphase cascade runs
+    time-major in XLA; each octave's frame read + filterbank + magnitude
+    + scale + log1p runs as the contiguous-window Pallas kernel; the
+    output transposes back. int16 input (raw PCM) transposes and DMAs as
+    int16 with the normalization folded into the scale epilogue.
+    stream_dtype=bfloat16 stores the downsampled octave signals (and
+    their DMAs) at half the bytes. Any hop/octave geometry works,
+    overlapping windows included.
     """
     if y.ndim == 1:
         y = y[None]
@@ -197,35 +239,41 @@ def cqt_pallas(y: jax.Array, p: CQTParams, *,
         in_scale = 1.0 / 32768.0
     bank = kernel_bank(p)
     n_fft = bank["n_fft"]
-    kmat = jnp.asarray(np.concatenate([bank["k_cos"], bank["k_sin"]],
-                                      axis=1))
+    kmat_t = jnp.asarray(np.ascontiguousarray(
+        np.concatenate([bank["k_cos"], bank["k_sin"]], axis=1).T))
     taps = halfband_taps()   # host values: they build the polyphase matrix
     n_frames = 1 + y.shape[1] // p.hop
 
     b = y.shape[0]
-    b_pad = -(-b // _TILE_B) * _TILE_B
+    # batch rides the 128-lane dim: pad it so the kernel's per-frame lane
+    # slices (j*B..(j+1)*B) stay tile-aligned; <128 lanes waste identical
+    # VPU/MXU hardware anyway
+    b_pad = -(-b // 128) * 128
     octs = []
-    cur = y if in_scale != 1.0 else y.astype(jnp.float32)
+    curT = jnp.transpose(y)                 # (L, B), int16 stays int16
+    if in_scale == 1.0:
+        curT = curT.astype(jnp.float32)
+    if b_pad != b:
+        curT = jnp.pad(curT, ((0, 0), (0, b_pad - b)))
     for o in range(p.octaves):
         if o > 0:
-            cur = downsample2(cur, taps,
-                              out_scale=in_scale if o == 1 else 1.0)
+            curT = downsample2_tm(curT, taps,
+                                  out_scale=in_scale if o == 1 else 1.0)
             if stream_dtype != jnp.float32:
-                cur = cur.astype(stream_dtype)
+                curT = curT.astype(stream_dtype)
         starts = _frame_starts(p.hop, o, n_frames)
-        tile_t = _tile_t(n_fft + _ALIGN, jnp.dtype(cur.dtype).itemsize)
+        tile_t = _tile_t(n_fft + _ALIGN_TM, b_pad,
+                         jnp.dtype(curT.dtype).itemsize)
         t_pad = -(-n_frames // tile_t) * tile_t
         starts = starts + [starts[-1]] * (t_pad - n_frames)
-        ypad = _pad_signal_for_starts(cur, starts, n_fft)
-        if b_pad != b:
-            ypad = jnp.pad(ypad, ((0, b_pad - b), (0, 0)))
+        ypadT = _pad_signal_for_starts(curT, starts, n_fft)
         oct_scale = in_scale if o == 0 else 1.0
         scales = jnp.asarray(
             bank["scales"] * (oct_scale * 2.0 ** (o / 2)),
-            jnp.float32)[None, :]
+            jnp.float32)[:, None]
         resp = _octave_response_frames(
-            ypad, jnp.asarray(starts, jnp.int32), kmat, scales,
+            ypadT, jnp.asarray(starts, jnp.int32), kmat_t, scales,
             n_fft=n_fft, t_pad=t_pad, tile_t=tile_t, interpret=interpret)
-        octs.append(resp[:b, :n_frames])
-    out = jnp.concatenate(list(reversed(octs)), axis=-1)
-    return jnp.transpose(out, (0, 2, 1))
+        octs.append(resp[:n_frames])
+    out = jnp.concatenate(list(reversed(octs)), axis=1)   # (T, n_bins, B)
+    return jnp.transpose(out, (2, 1, 0))[:b]

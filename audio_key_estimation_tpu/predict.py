@@ -192,7 +192,7 @@ class KeyEstimator:
             params = CQTParams(sr=sr, hop=hop, bins_per_octave=bpo,
                                octaves=cfg.octaves)
             mels.append(compute_cqt(
-                batch, params, use_pallas=cfg.use_pallas_cqt,
+                batch, params, use_pallas=cfg.pallas_cqt_enabled(),
                 conv_dtype=cfg.cqt_conv_dtype)[:, :, :, None])
         return tuple(mels)
 

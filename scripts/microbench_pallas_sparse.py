@@ -1,10 +1,13 @@
-"""Sparse-window-DMA Pallas CQT vs the XLA strided-conv path at bench
-geometry (B=256, 2-min int16 clips) — the round-2 VERDICT item-2 decider.
+"""Frame-table (time-major) Pallas CQT vs the XLA strided-conv path at
+bench geometry (B=256, 2-min int16 clips) — the round-2 VERDICT item-2
+decider.
 
 The XLA path's strided VALID convs read every padded stream in full
 (~20 GB/step incl. cascade, 72 ms with bf16 operands); the kernel DMAs
-only the frame windows (~0.6 GB/step). Reports cqt-alone ms/step for:
-  xla-f32, xla-bf16 (product default), pallas-f32, pallas-bf16-streams.
+only contiguous (win, B) frame windows of the time-major signal
+(~0.6 GB/step). Measured on TPU v5e: pallas-bf16 81.3 ms vs xla-bf16
+91.6 ms (+12.6%). Reports cqt-alone ms/step for:
+  xla-f32, xla-bf16, pallas-f32, pallas-bf16 (product default on TPU).
 Run serially (one TPU process at a time).
 """
 

@@ -1,16 +1,16 @@
-"""Fused frame-table Pallas CQT kernel vs the pure-JAX reference.
+"""Fused time-major frame-table Pallas CQT kernel vs the pure-JAX path.
 
 Runs in Pallas interpreter mode on CPU; the same kernel compiles for TPU
-(exercised by bench.py / scripts/microbench_pallas_sparse.py on hardware).
+(exercised by bench.py / scripts/microbench_pallas_sparse.py on hardware,
+where it beats the XLA front-end — PERFNOTES.md).
 
 The kernel addresses HBM by per-frame window starts (a scalar-prefetched
-static table), so unlike the earlier stream-layout designs it has no
-stride >= n_fft constraint: it engages at EVERY geometry, including
-few-octave configs (octaves=4 => n_fft=8192) whose overlapping windows
-previously forced an XLA fallback. Tests cover the flagship 8-octave
-geometry (multi-tile grids — an earlier single-tile-only suite hid a
-real-TPU index_map bug), the large-n_fft geometry, int16 PCM, bf16
-streams, and odd batch padding.
+static table), so it has no stride >= n_fft constraint: it engages at
+EVERY geometry, including few-octave configs (octaves=4 => n_fft=8192)
+whose overlapping windows the early stream-layout designs could not run.
+Tests use multi-tile grids — an earlier single-tile-only suite hid a
+real-TPU index_map bug — and cover int16 PCM, bf16 streams, and odd
+batch (lane-pad) handling.
 """
 
 import jax.numpy as jnp
@@ -32,26 +32,21 @@ def _sine(freq, seconds=2.0):
 
 
 def test_pallas_matches_jax_reference(rng):
-    y = np.stack([_sine(440.0), _sine(1318.5)])
+    y = np.stack([_sine(440.0), _sine(1318.5), rng.normal(
+        size=int(2.0 * SR)).astype(np.float32)])
     ref = np.asarray(cqt(jnp.asarray(y), P))
     got = np.asarray(cqt_pallas(jnp.asarray(y), P, interpret=True))
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_pallas_noise_input(rng):
-    y = rng.normal(size=(1, SR)).astype(np.float32)
-    ref = np.asarray(cqt(jnp.asarray(y), P))
-    got = np.asarray(cqt_pallas(jnp.asarray(y), P, interpret=True))
-    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
-
-
 def test_pallas_multi_tile_grid(rng):
-    """B=48 (two batch tiles after padding to 32) x 8s (multiple time
-    tiles): non-trivial block indices on both grid axes. This is the case
-    that catches index_map argument-order mistakes (grid indices first,
-    scalar-prefetch refs last) which single-tile tests cannot see."""
-    y = rng.normal(size=(48, 8 * SR)).astype(np.float32)
+    """8s input: several time tiles per octave (t_pad/tile_t > 1) so the
+    grid index and the scalar-table addressing are both exercised. This
+    is the case that catches index_map argument-order mistakes (grid
+    indices first, scalar-prefetch refs last) which single-tile tests
+    cannot see."""
+    y = rng.normal(size=(2, 8 * SR)).astype(np.float32)
     ref = np.asarray(cqt(jnp.asarray(y), P))
     got = np.asarray(cqt_pallas(jnp.asarray(y), P, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
@@ -59,8 +54,8 @@ def test_pallas_multi_tile_grid(rng):
 
 def test_pallas_large_nfft_overlapping_windows(rng):
     """octaves=4 => n_fft=8192 with hop 4410: windows overlap and the
-    VMEM budget drops tile_t below its cap. The frame-table kernel
-    handles this geometry (the stream-layout ancestors could not)."""
+    VMEM budget drops tile_t to 1. The frame-table kernel handles this
+    geometry (the stream-layout ancestors could not)."""
     y = np.stack([_sine(440.0)])
     ref = np.asarray(cqt(jnp.asarray(y), P_BIG_FFT))
     got = np.asarray(cqt_pallas(jnp.asarray(y), P_BIG_FFT, interpret=True))
@@ -68,8 +63,8 @@ def test_pallas_large_nfft_overlapping_windows(rng):
 
 
 def test_pallas_int16_raw_pcm_matches_float(rng):
-    """Raw PCM16 input: the top octave DMAs int16 windows and folds the
-    1/32768 normalization into the scale epilogue."""
+    """Raw PCM16 input: transpose and top-octave DMAs stay int16 and the
+    1/32768 normalization folds into the scale epilogue."""
     yf = np.stack([_sine(440.0), 0.5 * _sine(220.0)])
     yi = np.round(yf * 32768.0).clip(-32768, 32767).astype(np.int16)
     ref = np.asarray(cqt_pallas(jnp.asarray(yi.astype(np.float32) / 32768.0),
@@ -88,9 +83,28 @@ def test_pallas_bf16_streams_close_to_f32(rng):
     assert np.max(np.abs(got - ref)) < 0.02 * np.max(ref)
 
 
-def test_pallas_odd_batch_padding(rng):
-    """Batch not divisible by the kernel's TILE_B pads and slices back."""
+def test_pallas_odd_batch_lane_padding(rng):
+    """Batch not divisible by the kernel's 128-lane tile pads and slices
+    back."""
     y = rng.normal(size=(3, SR)).astype(np.float32)
     ref = np.asarray(cqt(jnp.asarray(y), P))
     got = np.asarray(cqt_pallas(jnp.asarray(y), P, interpret=True))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_downsample2_tm_matches_batch_major(rng):
+    """The time-major polyphase cascade computes the same samples as
+    ops.cqt.downsample2 (transposed), for f32 and raw-int16 inputs."""
+    from audio_key_estimation_tpu.ops.cqt import downsample2, halfband_taps
+    from audio_key_estimation_tpu.ops.cqt_pallas import downsample2_tm
+    taps = halfband_taps()
+    y = rng.normal(size=(3, 5000)).astype(np.float32)
+    ref = np.asarray(downsample2(jnp.asarray(y), taps))
+    got = np.asarray(downsample2_tm(jnp.asarray(y.T), taps))
+    np.testing.assert_allclose(got, ref.T, rtol=1e-5, atol=1e-6)
+    yi = (y * 30000).astype(np.int16)
+    ref_i = np.asarray(downsample2(jnp.asarray(yi), taps,
+                                   out_scale=1 / 32768.0))
+    got_i = np.asarray(downsample2_tm(jnp.asarray(yi.T), taps,
+                                      out_scale=1 / 32768.0))
+    np.testing.assert_allclose(got_i, ref_i.T, rtol=1e-5, atol=1e-6)

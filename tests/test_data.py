@@ -335,11 +335,18 @@ def test_blacklist_missing_file_fails_loudly(tmp_path):
 
 def test_dataset_pallas_frontend_matches_xla(tmp_path):
     """Config.use_pallas_cqt switches the dataset preprocessing front-end
-    (interpret-mode Pallas on CPU); features match the XLA path."""
+    (interpret-mode Pallas on CPU); features match the XLA path.
+
+    Compared at float32 — the bf16 variants of the two paths quantize at
+    different pipeline points (XLA: conv operands; Pallas: stored octave
+    streams) so they agree only to bf16 epsilon, which the dedicated
+    test_cqt_pallas suite covers."""
     root = _corpus(tmp_path)
-    ds_x = KeyDataset(genre=False, cfg=CFG, blacklist_path="", use_cache=False)
+    cfg_x = CFG.replace(cqt_conv_dtype="float32")
+    ds_x = KeyDataset(genre=False, cfg=cfg_x, blacklist_path="",
+                      use_cache=False)
     ds_x.import_data(loaders.GiantStepsKeyLoader(root), progress=False)
-    cfg_p = CFG.replace(use_pallas_cqt=True)
+    cfg_p = cfg_x.replace(use_pallas_cqt=True)
     ds_p = KeyDataset(genre=False, cfg=cfg_p, blacklist_path="",
                       use_cache=False)
     ds_p.import_data(loaders.GiantStepsKeyLoader(root), progress=False)
