@@ -15,9 +15,10 @@ matters: v5e throughput on this model is per-tile-overhead-bound at small
 batch (PERFNOTES.md) — 256 clips at once is 3.5x faster than 8 scanned
 chunks of 16. Stage times (decode / cqt / model / fused pipeline) are
 reported per audio-minute. Both front-ends are timed on TPU — the XLA
-strided-conv path and the sparse-window-DMA Pallas kernel (cqt_pallas.py,
-round-2 redesign: it reads only the frame windows from HBM) — and the
-headline uses whichever wins; AKX_BENCH_NO_PALLAS=1 skips the kernel.
+strided-conv path and the time-major frame-table Pallas kernel
+(cqt_pallas.py: contiguous (win, B) window DMAs + fused filterbank
+matmul/magnitude/log1p in VMEM) — and the headline uses whichever wins;
+AKX_BENCH_NO_PALLAS=1 skips the kernel.
 
 `value` is the fused device pipeline (CQT+model) on the best front-end —
 the driver-tracked headline. `vs_baseline` divides by the SAME JAX pipeline
