@@ -32,8 +32,10 @@ def _sine(freq, seconds=2.0):
 
 
 def test_pallas_matches_jax_reference(rng):
-    y = np.stack([_sine(440.0), _sine(1318.5), rng.normal(
-        size=int(2.0 * SR)).astype(np.float32)])
+    # 2.13 s: L is NOT a hop multiple, so the last frame start sits well
+    # before L and the fused transpose+pad's tail clamp is exercised
+    y = np.stack([_sine(440.0, 2.13), _sine(1318.5, 2.13), rng.normal(
+        size=int(2.13 * SR)).astype(np.float32)])
     ref = np.asarray(cqt(jnp.asarray(y), P))
     got = np.asarray(cqt_pallas(jnp.asarray(y), P, interpret=True))
     assert got.shape == ref.shape
@@ -108,3 +110,14 @@ def test_downsample2_tm_matches_batch_major(rng):
     got_i = np.asarray(downsample2_tm(jnp.asarray(yi.T), taps,
                                       out_scale=1 / 32768.0))
     np.testing.assert_allclose(got_i, ref_i.T, rtol=1e-5, atol=1e-6)
+
+
+# A fused Pallas transpose+reflect-pad kernel for the (B, L) -> (L, B)
+# input flip was built and measured on hardware, then removed: in-situ it
+# was a -2.3 ms loss (86.7 vs 84.4 ms full-path) because XLA already
+# fuses the input transpose into its consumers (the cascade einsum's
+# operand read and the pallas-operand pad) — the 43 ms "transpose alone"
+# measurement that motivated it was a materialization artifact of the
+# isolated harness. See PERFNOTES.md "input-transpose kernel" and git
+# history for the kernel (MXU identity-matmul transpose with an exact
+# bf16 hi/lo two-pass split).
