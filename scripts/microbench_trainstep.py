@@ -42,7 +42,9 @@ def main():
     dev = jax.devices()[0]
     log(f"train-step throughput on {dev.device_kind} ({dev.platform})")
     rng = np.random.default_rng(0)
-    for bs in (8, 32, 64):
+    sizes = tuple(int(x) for x in
+                  os.environ.get("AKX_BS", "8,32,64").split(","))
+    for bs in sizes:
         optimizer = make_optimizer(cfg, steps_per_epoch=100)
         model, state = create_train_state(cfg, jax.random.PRNGKey(0),
                                           optimizer, time_frames=T)
