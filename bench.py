@@ -63,7 +63,11 @@ from audio_key_estimation_tpu.ops.cqt_pallas import cqt_pallas
 SR = 22050
 CLIP_SECONDS = 120
 BATCH = 16   # decoded source clips
-REPLICAS = 16  # gain/noise variants -> device batch = 256 clips, one launch
+# gain/noise variants -> device batch = REPLICAS*16 clips, one launch.
+# 16 (B=256) was the XLA-path saturation point; the Pallas front-end
+# keeps scaling to B=512 (5378 vs 5165 audio-min/s; B=768 is flat at
+# 5402 — PERFNOTES), so 32 is the default. Env knob for sweeps.
+REPLICAS = int(os.environ.get("AKX_BENCH_REPLICAS", 32))
 REPS = 3
 F32_PEAK_FLOPS = 49.2e12  # v5e MXU, float32 path (bf16 peak / 4)
 
