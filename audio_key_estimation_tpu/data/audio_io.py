@@ -352,6 +352,10 @@ def ingest_batch(paths, pad_len: int, workers: int = 8,
     # per-file Python at all (the round-1 host-decode residual). Falls
     # through to the Python probe/readinto path (and from there to full
     # decode) unless every file ingests clean.
+    if n_rows is not None and n_rows < len(paths):
+        raise ValueError(
+            f"n_rows={n_rows} < {len(paths)} files: the batch cannot hold "
+            "every file (rows are per-file)")
     if all_wav and paths and sys.byteorder == "little":
         lib = load_library()
         if lib is not None:

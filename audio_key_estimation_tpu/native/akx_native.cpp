@@ -311,6 +311,7 @@ extern "C" {
 int64_t akx_ingest_batch(const char** paths, int64_t n_files, int16_t* batch,
                          int64_t n_rows, int64_t pad_len, int n_threads,
                          int64_t* lengths, int32_t* rates, uint8_t* ok) {
+  if (n_files > n_rows) return -1;  // would write past the batch buffer
   std::atomic<int64_t> next(0), n_ok(0);
   auto work = [&] {
     for (;;) {

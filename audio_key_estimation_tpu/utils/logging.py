@@ -22,9 +22,16 @@ class MetricsLogger:
         if tensorboard:
             try:
                 from tensorboardX import SummaryWriter
-                self._tb = SummaryWriter(run_dir)
             except Exception:
-                self._tb = None
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+                except Exception:
+                    SummaryWriter = None
+            if SummaryWriter is not None:
+                try:
+                    self._tb = SummaryWriter(run_dir)
+                except Exception:
+                    self._tb = None
 
     def __call__(self, row: Dict[str, float]):
         self.log_row(row)

@@ -266,6 +266,10 @@ def test_ingest_batch_reused_out_buffer_and_trim(tmp_path, rng):
     with pytest.raises(ValueError):
         audio_io.ingest_batch(paths, pad, n_rows=3,
                               out=np.zeros((3, pad), np.float32))
+    # fewer rows than files would write past the batch: loud error, never
+    # an out-of-bounds row (guarded in Python AND in akx_ingest_batch)
+    with pytest.raises(ValueError):
+        audio_io.ingest_batch(paths, pad, n_rows=1)
 
 
 def test_ingest_batch_native_matches_python_readinto(tmp_path, rng,
