@@ -119,13 +119,19 @@ class Config:
         collide)."""
         v = self.use_pallas_cqt
         if isinstance(v, str):
-            v = v.lower()
+            v = v.strip().lower()
         if v in ("auto", None):
             if platform is None:
                 import jax
                 platform = jax.devices()[0].platform
             return platform == "tpu"
-        return v in (True, "on", "true", "1")
+        if v in (True, "on", "true", "1"):
+            return True
+        if v in (False, "off", "false", "0"):
+            return False
+        raise ValueError(
+            f"use_pallas_cqt={self.use_pallas_cqt!r}: expected "
+            "'auto' | 'on' | 'off' (or a boolean)")
 
     # ---- (de)serialization: stored inside every checkpoint ----
     def to_json(self) -> str:
@@ -176,7 +182,13 @@ def add_config_args(parser) -> None:
     """Expose every Config field as a --flag on an argparse parser."""
     for f in dataclasses.fields(Config):
         name = "--" + f.name
-        if f.type == "bool" or isinstance(f.default, bool):
+        if f.name == "use_pallas_cqt":
+            # tri-state: bare `--use_pallas_cqt` keeps its historical
+            # store_true meaning ("on"); otherwise takes auto|on|off
+            parser.add_argument(name, nargs="?", const="on",
+                                default=f.default,
+                                choices=["auto", "on", "off"])
+        elif f.type == "bool" or isinstance(f.default, bool):
             parser.add_argument(name, action="store_true", default=f.default)
         elif isinstance(f.default, tuple):
             # element type from the default when non-empty (mesh_axes is a

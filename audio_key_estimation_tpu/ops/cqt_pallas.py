@@ -64,15 +64,47 @@ _ALIGN_TM = 16
 # frames per grid step (DMA chain length); shrinks when n_fft is so large
 # that tile_t windows would not fit the VMEM scratch budget.
 _TILE_T = 8
-_VMEM_BUDGET = 4 << 20
+# per-grid-step working-set budget: the (tile_t, win, B) window scratch
+# PLUS the f32 frame concat the matmul reads (tile_t * n_fft * B * 4).
+# 12 MB keeps the bench-measured flagship tilings (tile_t=8 at B=256,
+# 7 at B=512) while still forcing large-n_fft geometries to chunk.
+_VMEM_BUDGET = 12 << 20
+# when even ONE frame at the full lane-padded batch exceeds _VMEM_BUDGET
+# (large-n_fft geometries, e.g. octaves=4 => n_fft=8192), the batch is
+# processed in lane chunks sized against this larger budget (the grid
+# runs once per chunk; ~16 MB VMEM total on v5e, minus kmat and output
+# double-buffering)
+_VMEM_CHUNK_BUDGET = 10 << 20
+
+
+def _response_plan(n_fft: int, b_pad: int, itemsize: int):
+    """(tile_t, b_chunk) for the response kernel at this octave geometry.
+
+    per-lane working set = window scratch (win * itemsize) + f32 frame
+    concat (n_fft * 4). b_chunk < b_pad means the caller runs the kernel
+    per lane chunk; b_chunk == 0 means even 128 lanes do not fit and the
+    caller must fall back to the XLA path."""
+    win = n_fft + _ALIGN_TM
+    per_lane = win * itemsize + n_fft * 4
+    if b_pad * per_lane <= _VMEM_BUDGET:
+        tile_t = max(1, min(_TILE_T, _VMEM_BUDGET // (b_pad * per_lane)))
+        return tile_t, b_pad
+    b_chunk = _VMEM_CHUNK_BUDGET // per_lane // 128 * 128
+    return 1, min(b_chunk, b_pad)
 
 
 def downsample2_tm(y: jax.Array, taps, *, out_scale: float = 1.0):
     """Time-major halfband decimate: (L, B) -> (ceil(L/2), B).
 
-    Same polyphase block matmul as ops.cqt.downsample2 (identical samples,
-    f32 summation order may differ) with the block axis leading, so the
-    MXU contraction emits time-major output directly — no transpose pass.
+    Same polyphase block matmul as ops.cqt.downsample2 with the block axis
+    leading, so the MXU contraction emits time-major output directly — no
+    transpose pass. For f32/int16 inputs the samples match downsample2 up
+    to f32 summation order (pinned by test_downsample2_tm_matches_batch_
+    major); for bf16 inputs the two quantize at different points (this
+    path upcasts the window to f32 and rounds at the stored stream,
+    downsample2 contracts bf16 operands), so they agree only to bf16
+    epsilon — the same split as the XLA-vs-Pallas front-end comparison
+    (tests/test_data.py::test_dataset_pallas_frontend_matches_xla).
     """
     from .cqt import _POLY_BLOCK, _poly_matrix
 
@@ -101,10 +133,6 @@ def downsample2_tm(y: jax.Array, taps, *, out_scale: float = 1.0):
     out = jnp.einsum("nwb,wm->nmb", window, w,
                      preferred_element_type=jnp.float32)
     return out.reshape(nb * out_block, b)[:out_len].astype(out_dtype)
-
-
-def _tile_t(win: int, n_lanes: int, itemsize: int) -> int:
-    return max(1, min(_TILE_T, _VMEM_BUDGET // (win * n_lanes * itemsize)))
 
 
 @functools.partial(
@@ -227,7 +255,10 @@ def cqt_pallas(y: jax.Array, p: CQTParams, *,
     int16 with the normalization folded into the scale epilogue.
     stream_dtype=bfloat16 stores the downsampled octave signals (and
     their DMAs) at half the bytes. Any hop/octave geometry works,
-    overlapping windows included.
+    overlapping windows included: large-n_fft geometries whose per-frame
+    working set exceeds the VMEM budget run the grid per 128-lane batch
+    chunk, and geometries where even one chunk cannot fit fall back to
+    the XLA path (ops.cqt.cqt) outright.
     """
     if y.ndim == 1:
         y = y[None]
@@ -249,6 +280,11 @@ def cqt_pallas(y: jax.Array, p: CQTParams, *,
     # slices (j*B..(j+1)*B) stay tile-aligned; <128 lanes waste identical
     # VPU/MXU hardware anyway
     b_pad = -(-b // 128) * 128
+    if _response_plan(n_fft, b_pad, 4)[1] == 0:
+        # even a single 128-lane chunk of f32 frames overflows VMEM:
+        # this geometry cannot run the kernel at all
+        from .cqt import cqt
+        return cqt(y, p, conv_dtype=stream_dtype)
     octs = []
     curT = jnp.transpose(y)                 # (L, B), int16 stays int16
     if in_scale == 1.0:
@@ -262,8 +298,8 @@ def cqt_pallas(y: jax.Array, p: CQTParams, *,
             if stream_dtype != jnp.float32:
                 curT = curT.astype(stream_dtype)
         starts = _frame_starts(p.hop, o, n_frames)
-        tile_t = _tile_t(n_fft + _ALIGN_TM, b_pad,
-                         jnp.dtype(curT.dtype).itemsize)
+        tile_t, b_chunk = _response_plan(
+            n_fft, b_pad, jnp.dtype(curT.dtype).itemsize)
         t_pad = -(-n_frames // tile_t) * tile_t
         starts = starts + [starts[-1]] * (t_pad - n_frames)
         ypadT = _pad_signal_for_starts(curT, starts, n_fft)
@@ -271,9 +307,16 @@ def cqt_pallas(y: jax.Array, p: CQTParams, *,
         scales = jnp.asarray(
             bank["scales"] * (oct_scale * 2.0 ** (o / 2)),
             jnp.float32)[:, None]
-        resp = _octave_response_frames(
-            ypadT, jnp.asarray(starts, jnp.int32), kmat_t, scales,
-            n_fft=n_fft, t_pad=t_pad, tile_t=tile_t, interpret=interpret)
+        starts_dev = jnp.asarray(starts, jnp.int32)
+        chunks = []
+        for c0 in range(0, b_pad, b_chunk):
+            chunks.append(_octave_response_frames(
+                ypadT[:, c0:c0 + b_chunk] if b_chunk < b_pad else ypadT,
+                starts_dev, kmat_t, scales,
+                n_fft=n_fft, t_pad=t_pad, tile_t=tile_t,
+                interpret=interpret))
+        resp = chunks[0] if len(chunks) == 1 \
+            else jnp.concatenate(chunks, axis=2)
         octs.append(resp[:n_frames])
     out = jnp.concatenate(list(reversed(octs)), axis=1)   # (T, n_bins, B)
     return jnp.transpose(out, (2, 1, 0))[:b]

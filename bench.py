@@ -8,12 +8,13 @@ Workload: 16 two-minute 22.05 kHz songs (deterministic tones+noise) written
 as REAL WAV FILES and decoded through the production path
 (audio_io.decode_many(raw=True) -> raw PCM16, host does I/O only; the
 /32768 normalization runs inside the CQT graph), replicated with
-deterministic on-device gain/noise variation to ONE monolithic 256-clip
-int16 batch through the jitted 8-octave 36-bin log-CQT + flagship
-PitchClassNet (reference train_model.py defaults). The monolithic batch
-matters: v5e throughput on this model is per-tile-overhead-bound at small
-batch (PERFNOTES.md) — 256 clips at once is 3.5x faster than 8 scanned
-chunks of 16. Stage times (decode / cqt / model / fused pipeline) are
+deterministic on-device gain/noise variation to ONE monolithic 512-clip
+int16 batch (REPLICAS=32; AKX_BENCH_REPLICAS sweeps) through the jitted
+8-octave 36-bin log-CQT + flagship PitchClassNet (reference
+train_model.py defaults). The monolithic batch matters: v5e throughput on
+this model is per-tile-overhead-bound at small batch (PERFNOTES.md) — 256
+clips at once is 3.5x faster than 8 scanned chunks of 16, and the Pallas
+front-end keeps scaling to 512. Stage times (decode / cqt / model / fused pipeline) are
 reported per audio-minute. Both front-ends are timed on TPU — the XLA
 strided-conv path and the time-major frame-table Pallas kernel
 (cqt_pallas.py: contiguous (win, B) window DMAs + fused filterbank

@@ -121,3 +121,53 @@ def test_downsample2_tm_matches_batch_major(rng):
 # isolated harness. See PERFNOTES.md "input-transpose kernel" and git
 # history for the kernel (MXU identity-matmul transpose with an exact
 # bf16 hi/lo two-pass split).
+
+
+def test_pallas_lane_chunked_large_nfft(rng, monkeypatch):
+    """When one frame at the full lane-padded batch exceeds the VMEM
+    budget, the response grid runs per 128-lane chunk; when even a single
+    chunk cannot fit, cqt_pallas falls back to the XLA path outright.
+    Exercised by shrinking the budgets (interpret mode)."""
+    from audio_key_estimation_tpu.ops import cqt_pallas as mod
+
+    y = rng.normal(size=(130, SR)).astype(np.float32)  # b_pad = 256
+    ref = np.asarray(cqt(jnp.asarray(y), P))
+    # force chunking: one 256-lane frame (win*4 + n_fft*4 per lane) must
+    # overflow _VMEM_BUDGET while a 128-lane chunk fits the chunk budget
+    per_lane = (mod.kernel_bank(P)["n_fft"] + mod._ALIGN_TM) * 4 \
+        + mod.kernel_bank(P)["n_fft"] * 4
+    monkeypatch.setattr(mod, "_VMEM_BUDGET", 255 * per_lane)
+    monkeypatch.setattr(mod, "_VMEM_CHUNK_BUDGET", 129 * per_lane)
+    assert mod._response_plan(mod.kernel_bank(P)["n_fft"], 256, 4) \
+        == (1, 128)
+    got = np.asarray(mod.cqt_pallas(jnp.asarray(y), P, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    # now make even one chunk impossible: whole-call XLA fallback
+    monkeypatch.setattr(mod, "_VMEM_CHUNK_BUDGET", 64 * per_lane)
+    assert mod._response_plan(mod.kernel_bank(P)["n_fft"], 256, 4)[1] == 0
+    got2 = np.asarray(mod.cqt_pallas(jnp.asarray(y), P, interpret=True))
+    np.testing.assert_allclose(got2, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_use_pallas_cqt_tristate_validation():
+    """'auto' resolves by platform, bad strings fail loudly, bare CLI flag
+    keeps its historical switch meaning."""
+    import argparse
+
+    import pytest
+
+    from audio_key_estimation_tpu.config import Config, add_config_args
+
+    cfg = Config()
+    assert cfg.pallas_cqt_enabled(platform="tpu") is True
+    assert cfg.pallas_cqt_enabled(platform="cpu") is False
+    assert cfg.replace(use_pallas_cqt="on").pallas_cqt_enabled("cpu")
+    assert not cfg.replace(use_pallas_cqt="off").pallas_cqt_enabled("tpu")
+    assert cfg.replace(use_pallas_cqt=True).pallas_cqt_enabled("cpu")
+    with pytest.raises(ValueError):
+        cfg.replace(use_pallas_cqt="ture").pallas_cqt_enabled("tpu")
+    p = argparse.ArgumentParser()
+    add_config_args(p)
+    assert p.parse_args([]).use_pallas_cqt == "auto"
+    assert p.parse_args(["--use_pallas_cqt"]).use_pallas_cqt == "on"
+    assert p.parse_args(["--use_pallas_cqt", "off"]).use_pallas_cqt == "off"
