@@ -377,7 +377,9 @@ def ingest_batch(paths, pad_len: int, workers: int = 8,
             n_ok = lib.akx_ingest_batch(
                 arr, len(paths),
                 batch.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-                n, pad_len, workers,
+                # mirror the Python path's single-core gate: pthreads
+                # contending for one core are pure scheduling overhead
+                n, pad_len, workers if (os.cpu_count() or 1) > 1 else 1,
                 lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
                 ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))

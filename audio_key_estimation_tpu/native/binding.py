@@ -67,7 +67,10 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
     global _lib, _tried
     if _lib is not None:
         return _lib
-    if _tried and not os.path.exists(_SO):
+    if _tried:
+        # one attempt per process: a stale .so with a broken toolchain
+        # would otherwise re-spawn a failing `make` (up to 120 s) on every
+        # call in the per-file decode hot path
         return None
     _tried = True
     src = os.path.join(_DIR, "akx_native.cpp")

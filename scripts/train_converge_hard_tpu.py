@@ -73,9 +73,15 @@ def build_global_corpus(pilot: bool):
 
         def audio(path, key, idx, _s0=seed0, _tim=timbres, _sec=sec):
             pc, minor = synthetic.key_to_pc(key)
+            # timbre index DECORRELATED from key: idx % 24 is the key, and
+            # len(timbres) divides 24, so a plain idx % len(timbres) would
+            # render every song of a key with one fixed instrument —
+            # exactly the timbre->key shortcut this benchmark exists to
+            # rule out. idx + idx // 24 walks the timbre list across the
+            # copies of each key instead.
             synthetic.polyphonic_wav(
                 path, [(0.0, _sec, pc, minor)], seed=_s0 + idx,
-                timbre_id=_tim[idx % len(_tim)])
+                timbre_id=_tim[(idx + idx // 24) % len(_tim)])
 
         t0 = time.time()
         synthetic.make_giantsteps_corpus(root, songs, audio_fn=audio)
@@ -111,10 +117,14 @@ def build_local_corpus(pilot: bool):
             base_pc = int(rng.integers(0, 12))
             # modulation chain: fifth up/down, relative, or parallel
             n_seg = int(rng.integers(2, 4))
-            # boundaries in the middle band, >= 20s apart
+            # boundaries in the middle band, separated by >= 2/9 of the
+            # song (20 s at the full 90 s length; a fixed 20 s floor is
+            # unsatisfiable inside the 0.22-0.78 band of a 30 s pilot
+            # song, which made pilot corpus generation spin forever)
+            min_sep = sec * 2.0 / 9.0
             while True:
                 bounds = np.sort(rng.uniform(0.22, 0.78, n_seg - 1)) * sec
-                if n_seg < 3 or np.diff(bounds).min() >= 20.0:
+                if n_seg < 3 or np.diff(bounds).min() >= min_sep:
                     break
             times = [0.0] + [float(b) for b in bounds] + [sec]
             segs, pc, minor = [], base_pc, base_minor
@@ -216,7 +226,7 @@ def run_phase(phase: str, pilot: bool):
         f"Device: **{dev.device_kind}** (`{dev.platform}`)"
         + (" — PILOT RUN (reduced corpus/epochs)" if pilot else ""),
         f"Corpus: {len(train_ds)} train / {len(val_ds)} val polyphonic "
-        f"songs ({(90 if phase == 'local' else SECONDS):.0f}s), "
+        f"songs ({(30.0 if pilot else 90.0 if phase == 'local' else SECONDS):.0f}s), "
         "diatonic triad walks + melody + "
         "colored-noise bed + percussion, per-song tempo/velocity jitter, "
         f"train timbres {TRAIN_TIMBRES} vs val timbres {VAL_TIMBRES} "
