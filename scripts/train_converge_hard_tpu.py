@@ -33,6 +33,12 @@ import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("JAX_PLATFORMS"):
+    # The TPU-tunnel site hook force-sets jax_platforms="axon,cpu" at
+    # interpreter start, overriding the JAX_PLATFORMS env var; re-assert it
+    # post-import so CPU pilot runs work offline when the relay is down
+    # (same pattern as tests/conftest.py).
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import numpy as np
 
