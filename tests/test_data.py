@@ -465,3 +465,26 @@ def test_scale_wav_diatonic_content(tmp_path):
         assert pc in g_major, (i, f0, pc)
         hits += 1
     assert hits >= 10
+
+
+def test_local_oracle_ceiling_analysis(tmp_path):
+    """scripts/local_ceiling_analysis.py smoke: on a corpus with no
+    modulations the oracle is perfect; with a mid-song modulation the
+    ceiling drops below 1.0 but stays far above chance."""
+    import importlib
+    mod = importlib.import_module("scripts.local_ceiling_analysis")
+
+    pure = str(tmp_path / "pure")
+    songs = [("HU33", "D911-01", 220.0, "C:maj"),
+             ("HU33", "D911-02", 220.0, "A:min")]
+    synthetic.make_winterreise_corpus(pure, songs, seconds=40.0)
+    agg = mod.main(pure)
+    assert agg["mirex"] == pytest.approx(1.0)
+
+    mixed = str(tmp_path / "mixed")
+    segs = {"HU33_D911-01": [(0.0, 20.0, "C:maj"), (20.0, 40.0, "G:maj")],
+            "HU33_D911-02": [(0.0, 25.0, "A:min"), (25.0, 40.0, "E:min")]}
+    synthetic.make_winterreise_corpus(mixed, songs, local_segments=segs,
+                                      seconds=40.0)
+    agg = mod.main(mixed)
+    assert 0.5 < agg["mirex"] < 1.0
