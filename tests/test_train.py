@@ -277,3 +277,56 @@ def test_window_size_mode_end_to_end(tmp_path):
     assert np.isfinite(history[0]["train_loss"])
     assert np.isfinite(history[0]["val_loss"])
     assert 0.0 <= history[0]["val_mirex"] <= 1.0
+
+
+def test_optimizer_matches_torch_adam_exponential_lr(rng):
+    """make_optimizer == torch.optim.Adam(weight_decay) + ExponentialLR.
+
+    Pins the three drift-prone semantics (train/optim.py vs
+    models.py:1017-1027): L2 applied INTO the gradient before the moment
+    updates (torch Adam's weight_decay, not decoupled AdamW), Adam bias
+    correction, and the per-EPOCH staircase schedule alignment (epoch e
+    trains at lr*gamma^e; the scheduler steps at epoch end).
+    """
+    import torch
+    import optax
+
+    lr, gamma, reg = 3e-4, 0.5, 1e-2
+    steps_per_epoch, n_epochs = 3, 3
+    shapes = [(4, 3), (7,), (2, 2, 2)]
+    params0 = [rng.normal(size=s) for s in shapes]
+    grads = [[rng.normal(size=s) for s in shapes]
+             for _ in range(steps_per_epoch * n_epochs)]
+
+    # torch side
+    tparams = [torch.tensor(p, dtype=torch.float64, requires_grad=True)
+               for p in params0]
+    topt = torch.optim.Adam(tparams, lr=lr, betas=(0.9, 0.999),
+                            weight_decay=reg)
+    tsched = torch.optim.lr_scheduler.ExponentialLR(topt, gamma=gamma)
+    it = iter(grads)
+    for _ in range(n_epochs):
+        for _ in range(steps_per_epoch):
+            g = next(it)
+            for p, gi in zip(tparams, g):
+                p.grad = torch.tensor(gi, dtype=torch.float64)
+            topt.step()
+        tsched.step()
+
+    # jax side
+    cfg = Config(lr=lr, gamma=gamma, reg=reg)
+    opt = make_optimizer(cfg, steps_per_epoch)
+    jparams = [jnp.asarray(p) for p in params0]
+    state = opt.init(jparams)
+    for g in grads:
+        updates, state = opt.update([jnp.asarray(x) for x in g], state,
+                                    jparams)
+        jparams = optax.apply_updates(jparams, updates)
+
+    # 1e-9: optax and torch compute the algebraically identical update with
+    # different association (bias-correction folded into the step size vs
+    # applied to m/v), leaving ~1e-11 fp noise; semantic drift (decay
+    # ordering, schedule off-by-one) shows at >= 1e-5.
+    for tp, jp in zip(tparams, jparams):
+        np.testing.assert_allclose(np.asarray(jp), tp.detach().numpy(),
+                                   rtol=1e-9, atol=1e-9)
