@@ -236,7 +236,8 @@ def run_phase(phase: str, pilot: bool):
         "diatonic triad walks + melody + "
         "colored-noise bed + percussion, per-song tempo/velocity jitter, "
         f"train timbres {TRAIN_TIMBRES} vs val timbres {VAL_TIMBRES} "
-        "(disjoint). "
+        "(disjoint; within each split the timbre walks across the copies "
+        "of every key, so timbre is decorrelated from key). "
         + ("Songs modulate mid-song (2-3 key segments, per-window labels)."
            if phase == "local" else "One key per song, all 24 keys."),
         f"Flagship geometry, bs {cfg.batch_size}, lr {cfg.lr}, "
