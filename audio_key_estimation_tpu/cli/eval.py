@@ -15,11 +15,9 @@ import argparse
 import os
 
 import jax
-import jax.numpy as jnp
 
 from ..config import (Config, add_config_args, config_from_args,
                       merge_eval_config)
-from ..models import PitchClassNet
 from ..models.torch_port import state_dict_to_variables
 from ..train import checkpoints as ckpt_lib
 from ..train.optim import make_optimizer

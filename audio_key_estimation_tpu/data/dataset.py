@@ -20,7 +20,7 @@ from __future__ import annotations
 import concurrent.futures as futures
 import os
 import random
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import jax
 import numpy as np

@@ -20,7 +20,7 @@ in the reference; our implementation follows the *intended* semantics):
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

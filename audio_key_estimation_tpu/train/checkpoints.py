@@ -14,7 +14,6 @@ Directory scheme mirrors Lightning's auto-versioning
 from __future__ import annotations
 
 import glob
-import json
 import os
 import re
 from typing import Optional, Tuple

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 
 class MetricsLogger:

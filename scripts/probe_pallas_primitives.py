@@ -13,7 +13,6 @@ not bugs. Run serially on TPU.
 
 import os
 import sys
-import traceback
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)

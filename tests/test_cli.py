@@ -7,7 +7,6 @@ import os
 import sys
 
 import numpy as np
-import pytest
 
 from audio_key_estimation_tpu.cli import equivariance as eq_cli
 from audio_key_estimation_tpu.config import Config

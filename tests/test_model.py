@@ -12,8 +12,7 @@ import numpy as np
 import pytest
 
 from audio_key_estimation_tpu.config import Config
-from audio_key_estimation_tpu.models import PitchClassNet, PitchClassNetMulti
-from audio_key_estimation_tpu.models.pitchclassnet import init_model
+from audio_key_estimation_tpu.models import PitchClassNet
 from audio_key_estimation_tpu.models.multi_scale import init_multi_model
 
 

@@ -8,7 +8,6 @@ transposed conv) to the reference's nn.Conv2d behavior with shared weights.
 
 import jax.numpy as jnp
 import numpy as np
-import pytest
 import torch
 import torch.nn.functional as F
 
