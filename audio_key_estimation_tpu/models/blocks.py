@@ -24,9 +24,16 @@ LEAKY_SLOPE = 0.01
 
 
 def _init_conv(key, shape, dtype):
-    """Kaiming-uniform fan-in init, matching torch Conv2d default."""
+    """Kaiming-uniform fan-in init, matching torch Conv2d default.
+
+    torch's ``reset_parameters`` calls ``kaiming_uniform_(w, a=sqrt(5))``:
+    gain = sqrt(2/(1+a^2)) = sqrt(1/3), std = gain/sqrt(fan_in), and the
+    uniform bound is sqrt(3)*std = 1/sqrt(fan_in).  (Round-2 shipped
+    sqrt(3)/sqrt(fan_in) — 3x the variance; fixed in round 3 and pinned
+    against real torch in tests/test_torch_port.py.)
+    """
     fan_in = shape[0] * shape[1] * shape[2] if len(shape) == 4 else shape[0] * shape[1]
-    bound = (6.0 / fan_in) ** 0.5 / (2 ** 0.5)  # kaiming_uniform(a=sqrt(5)) gist
+    bound = 1.0 / fan_in ** 0.5
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 

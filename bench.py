@@ -37,9 +37,76 @@ stderr; stdout carries only the JSON line.
 import json
 import math
 import os
+import subprocess
 import sys
 import tempfile
 import time
+
+
+def _supervise():
+    """Bounded retry harness around the real bench (VERDICT r2 item 1).
+
+    The round-2 driver bench failed rc=1 with a stack trace because the
+    axon TPU relay was down at capture time. Two facts make an in-process
+    retry wrong: (a) one backend-init attempt blocks ~7 minutes in
+    jaxlib's connect-retry loop, and (b) jax caches a failed backend init
+    for the life of the process. So the retry lives OUT of process: run
+    the real bench as a subprocess (AKX_BENCH_INNER=1) with a per-attempt
+    timeout, retry with backoff while budget remains, and on persistent
+    failure print the driver-parseable JSON line with value 0.0 and an
+    "error" field instead of a traceback. Exit code is always 0.
+    """
+    budget_s = float(os.environ.get("AKX_BENCH_RETRY_BUDGET_S", 2400))
+    attempt_timeout_s = float(os.environ.get("AKX_BENCH_ATTEMPT_TIMEOUT_S",
+                                             1200))
+    max_attempts = int(os.environ.get("AKX_BENCH_MAX_ATTEMPTS", 4))
+    backoff_s = float(os.environ.get("AKX_BENCH_BACKOFF_S", 30))
+    t_start = time.monotonic()
+    env = dict(os.environ, AKX_BENCH_INNER="1")
+    # test hook: run `python -c <code>` instead of the real bench so the
+    # retry/JSON-on-failure contract is unit-testable without a device
+    test_child = os.environ.get("AKX_BENCH_TEST_CHILD")
+    cmd = ([sys.executable, "-c", test_child] if test_child
+           else [sys.executable, os.path.abspath(__file__)])
+    last_err = "no attempts ran"
+    for attempt in range(1, max_attempts + 1):
+        remaining = budget_s - (time.monotonic() - t_start)
+        if remaining <= 0:
+            last_err += " (retry budget exhausted)"
+            break
+        print(f"bench attempt {attempt}/{max_attempts} "
+              f"(timeout {min(attempt_timeout_s, remaining):.0f}s)",
+              file=sys.stderr, flush=True)
+        try:
+            # stderr inherits (live diagnostics); stdout is captured so the
+            # supervisor's stdout carries exactly one JSON line.
+            proc = subprocess.run(
+                cmd, env=env, stdout=subprocess.PIPE,
+                timeout=min(attempt_timeout_s, remaining))
+        except subprocess.TimeoutExpired:
+            last_err = (f"attempt {attempt} timed out after "
+                        f"{attempt_timeout_s:.0f}s (TPU relay hang?)")
+            print(last_err, file=sys.stderr, flush=True)
+            continue
+        out = proc.stdout.decode("utf-8", "replace").strip()
+        line = out.splitlines()[-1] if out else ""
+        if proc.returncode == 0 and line.startswith("{"):
+            print(line, flush=True)
+            return
+        last_err = (f"attempt {attempt} rc={proc.returncode}; "
+                    f"stdout tail: {line[-300:] or '(empty)'}")
+        print(last_err, file=sys.stderr, flush=True)
+        if attempt < max_attempts:
+            time.sleep(min(backoff_s * attempt,
+                           max(0.0, budget_s - (time.monotonic() - t_start))))
+    print(json.dumps({"metric": "audio_min_per_sec_per_chip", "value": 0.0,
+                      "unit": "audio-min/s/chip", "vs_baseline": 0.0,
+                      "error": last_err[:500]}), flush=True)
+
+
+if __name__ == "__main__" and not os.environ.get("AKX_BENCH_INNER"):
+    _supervise()
+    sys.exit(0)
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -1,0 +1,67 @@
+"""bench.py supervisor contract (VERDICT r2 item 1).
+
+The driver runs `python bench.py` and parses the last stdout line as JSON.
+Round 2's capture failed rc=1 with a stack trace when the TPU relay was
+down; the supervisor now guarantees rc=0 and a JSON line in every outcome:
+success passthrough, child crash, and child hang (relay connect loop).
+Reference workload being benchmarked: /root/reference/KeyDataset.py:490-494
+front-end + /root/reference/models.py forward.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))), "bench.py")
+
+
+def _run(child_code, **env_over):
+    env = dict(os.environ, AKX_BENCH_TEST_CHILD=child_code, **env_over)
+    proc = subprocess.run([sys.executable, BENCH], env=env,
+                          stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                          timeout=120)
+    lines = proc.stdout.decode().strip().splitlines()
+    return proc.returncode, json.loads(lines[-1])
+
+
+def test_success_passthrough():
+    rc, out = _run('print(\'{"metric": "audio_min_per_sec_per_chip", '
+                   '"value": 42.5, "vs_baseline": 3.0}\')')
+    assert rc == 0
+    assert out["value"] == 42.5
+    assert "error" not in out
+
+
+def test_child_crash_emits_json_rc0():
+    rc, out = _run("import sys; sys.exit(3)",
+                   AKX_BENCH_MAX_ATTEMPTS="2", AKX_BENCH_RETRY_BUDGET_S="4")
+    assert rc == 0
+    assert out["metric"] == "audio_min_per_sec_per_chip"
+    assert out["value"] == 0.0
+    assert "rc=3" in out["error"]
+
+
+def test_child_hang_times_out_emits_json_rc0():
+    rc, out = _run("import time; time.sleep(60)",
+                   AKX_BENCH_MAX_ATTEMPTS="1",
+                   AKX_BENCH_ATTEMPT_TIMEOUT_S="2")
+    assert rc == 0
+    assert out["value"] == 0.0
+    assert "timed out" in out["error"]
+
+
+def test_retries_then_succeeds(tmp_path):
+    """First attempt crashes, second succeeds — supervisor retries."""
+    marker = tmp_path / "attempt1"
+    code = (f"import os, sys\n"
+            f"p = {str(marker)!r}\n"
+            f"if not os.path.exists(p):\n"
+            f"    open(p, 'w').close(); sys.exit(1)\n"
+            f"print('{{\"metric\": \"audio_min_per_sec_per_chip\", "
+            f"\"value\": 7.0}}')\n")
+    rc, out = _run(code, AKX_BENCH_MAX_ATTEMPTS="3",
+                   AKX_BENCH_RETRY_BUDGET_S="90", AKX_BENCH_BACKOFF_S="0.2")
+    assert rc == 0
+    assert out["value"] == 7.0
