@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import warnings
 from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
@@ -81,9 +82,16 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
         try:
             subprocess.run(["make", "-C", _DIR, "-sB"], check=True,
                            capture_output=True, timeout=120)
-        except Exception:
+        except Exception as e:
             if not os.path.exists(_SO):
                 return None
+            # the stale .so may load with all symbols resolving yet behave
+            # per the OLD source — make that failure mode loud (ADVICE r2)
+            warnings.warn(
+                f"libakx.so is older than akx_native.cpp and the rebuild "
+                f"failed ({e!r}); proceeding with the STALE library — its "
+                f"behavior may not match the current source",
+                RuntimeWarning, stacklevel=2)
     if not os.path.exists(_SO):
         return None
     try:

@@ -71,9 +71,10 @@ _TILE_T = 8
 _VMEM_BUDGET = 12 << 20
 # when even ONE frame at the full lane-padded batch exceeds _VMEM_BUDGET
 # (large-n_fft geometries, e.g. octaves=4 => n_fft=8192), the batch is
-# processed in lane chunks sized against this larger budget (the grid
-# runs once per chunk; ~16 MB VMEM total on v5e, minus kmat and output
-# double-buffering)
+# processed in lane chunks sized against this budget. Note it is smaller
+# than _VMEM_BUDGET in absolute terms but larger PER FRAME: chunked mode
+# runs tile_t=1, so the whole 10 MB funds a single frame's working set,
+# vs _VMEM_BUDGET/_TILE_T ≈ 1.5 MB per frame on the unchunked path.
 _VMEM_CHUNK_BUDGET = 10 << 20
 
 
@@ -83,14 +84,21 @@ def _response_plan(n_fft: int, b_pad: int, itemsize: int):
     per-lane working set = window scratch (win * itemsize) + f32 frame
     concat (n_fft * 4). b_chunk < b_pad means the caller runs the kernel
     per lane chunk; b_chunk == 0 means even 128 lanes do not fit and the
-    caller must fall back to the XLA path."""
+    caller must fall back to the XLA path. A returned chunk always DIVIDES
+    b_pad (in 128-lane units) so every chunk shares one compiled kernel."""
     win = n_fft + _ALIGN_TM
     per_lane = win * itemsize + n_fft * 4
     if b_pad * per_lane <= _VMEM_BUDGET:
         tile_t = max(1, min(_TILE_T, _VMEM_BUDGET // (b_pad * per_lane)))
         return tile_t, b_pad
-    b_chunk = _VMEM_CHUNK_BUDGET // per_lane // 128 * 128
-    return 1, min(b_chunk, b_pad)
+    b_chunk = min(_VMEM_CHUNK_BUDGET // per_lane // 128 * 128, b_pad)
+    if b_chunk > 0:
+        units = b_pad // 128
+        cu = b_chunk // 128
+        while units % cu:     # largest divisor of b_pad's lane units <= cu
+            cu -= 1
+        b_chunk = cu * 128
+    return 1, b_chunk
 
 
 def downsample2_tm(y: jax.Array, taps, *, out_scale: float = 1.0):
@@ -136,34 +144,47 @@ def downsample2_tm(y: jax.Array, taps, *, out_scale: float = 1.0):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_fft", "t_pad", "tile_t", "interpret"))
-def _octave_response_frames(ypadT, starts, kmat_t, scales, *, n_fft: int,
-                            t_pad: int, tile_t: int,
-                            interpret: bool = False):
-    """(Lpad, B) time-major padded octave signal -> (t_pad, bpo, B) fused
+    jax.jit,
+    static_argnames=("n_fft", "t_pad", "tile_t", "b_chunk", "interpret"))
+def _octave_response_frames(ypadT, starts, lane0, kmat_t, scales, *,
+                            n_fft: int, t_pad: int, tile_t: int,
+                            b_chunk: int = 0, interpret: bool = False):
+    """(Lpad, B) time-major padded octave signal -> (t_pad, bpo, Bc) fused
     log1p-magnitude responses; each window is one contiguous DMA.
 
     B must be a multiple of 128 (the caller lane-pads) and t_pad of
     tile_t (the caller pads `starts` by repeating the last entry); every
     start must satisfy start + n_fft + _ALIGN_TM <= Lpad.
+
+    b_chunk (0 = full width) runs the kernel over the Bc = b_chunk lanes
+    beginning at lane0 (a (1,) int32 array, multiple of 128): the DMAs
+    lane-slice ypadT IN PLACE in HBM, so VMEM-constrained geometries never
+    materialize per-chunk signal copies (ADVICE r2), and because lane0 is
+    a runtime scalar every chunk shares this one compiled kernel. Full
+    width keeps the contiguous whole-row DMA.
     """
     Lpad, B = ypadT.shape
+    Bc = b_chunk or B
     bpo = kmat_t.shape[0] // 2
     in_dtype = ypadT.dtype
     grid = (t_pad // tile_t,)
     win = n_fft + _ALIGN_TM
+    full = Bc == B
 
-    def kernel(st_ref, ypad_ref, kmat_ref, scales_ref, out_ref,
+    def kernel(st_ref, lane_ref, ypad_ref, kmat_ref, scales_ref, out_ref,
                frames, sems):
         ti = pl.program_id(0)
+        lane = pl.multiple_of(lane_ref[0], 128)
         copies = []
         rems = []
         for j in range(tile_t):
             off = st_ref[ti * tile_t + j]
             off_al = pl.multiple_of(off // _ALIGN_TM * _ALIGN_TM, _ALIGN_TM)
             rems.append(off - off_al)
-            copies.append(pltpu.make_async_copy(
-                ypad_ref.at[pl.ds(off_al, win)], frames.at[j], sems.at[j]))
+            src = (ypad_ref.at[pl.ds(off_al, win)] if full
+                   else ypad_ref.at[pl.ds(off_al, win), pl.ds(lane, Bc)])
+            copies.append(pltpu.make_async_copy(src, frames.at[j],
+                                                sems.at[j]))
         for c in copies:
             c.start()
         for c in copies:
@@ -175,17 +196,17 @@ def _octave_response_frames(ypadT, starts, kmat_t, scales, *, n_fft: int,
             # rem < _ALIGN_TM so [:n_fft] never wraps
             buf = frames[j].astype(jnp.float32)
             cols.append(pltpu.roll(buf, win - rems[j], 0)[:n_fft])
-        fr = jnp.concatenate(cols, axis=1)          # (n_fft, tile_t*B)
+        fr = jnp.concatenate(cols, axis=1)          # (n_fft, tile_t*Bc)
         r = jnp.dot(kmat_ref[:], fr, preferred_element_type=jnp.float32)
         cc = r[:bpo]
         ss = r[bpo:]
         mag = jnp.sqrt(cc * cc + ss * ss) * scales_ref[:]
-        lg = jnp.log1p(mag)                         # (bpo, tile_t*B)
+        lg = jnp.log1p(mag)                         # (bpo, tile_t*Bc)
         for j in range(tile_t):
-            out_ref[j] = lg[:, j * B:(j + 1) * B]
+            out_ref[j] = lg[:, j * Bc:(j + 1) * Bc]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,          # frame-start table
+        num_scalar_prefetch=2,          # frame-start table + lane offset
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # ypadT stays in HBM
@@ -193,31 +214,31 @@ def _octave_response_frames(ypadT, starts, kmat_t, scales, *, n_fft: int,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # scales (bpo, 1)
         ],
         out_specs=pl.BlockSpec(
-            (tile_t, bpo, B),
+            (tile_t, bpo, Bc),
             # index_map args are (*grid_indices, *scalar_prefetch_refs) —
-            # the starts ref rides LAST and is unused for the out index
-            lambda t, s: (t, 0, 0)),
+            # the starts/lane0 refs ride LAST and are unused for the index
+            lambda t, s, l: (t, 0, 0)),
         scratch_shapes=[
             # leading (untiled) dim is the frame index so each DMA's
             # destination frames.at[j] never slices a tiled dim
-            pltpu.VMEM((tile_t, win, B), in_dtype),
+            pltpu.VMEM((tile_t, win, Bc), in_dtype),
             pltpu.SemaphoreType.DMA((tile_t,)),
         ],
     )
 
-    frames_total = B * t_pad
+    frames_total = Bc * t_pad
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_pad, bpo, B), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((t_pad, bpo, Bc), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * frames_total * n_fft * 2 * bpo,
-            bytes_accessed=(t_pad * win * B * in_dtype.itemsize
+            bytes_accessed=(t_pad * win * Bc * in_dtype.itemsize
                             + kmat_t.size * 4 + frames_total * bpo * 4),
             transcendentals=2 * frames_total * bpo,
         ),
         interpret=interpret,
-    )(starts, ypadT, kmat_t, scales)
+    )(starts, lane0, ypadT, kmat_t, scales)
 
 
 def _frame_starts(hop: int, octave: int, n_frames: int) -> list[int]:
@@ -310,10 +331,12 @@ def cqt_pallas(y: jax.Array, p: CQTParams, *,
         starts_dev = jnp.asarray(starts, jnp.int32)
         chunks = []
         for c0 in range(0, b_pad, b_chunk):
+            # the kernel lane-slices ypadT in place in HBM via the lane0
+            # scalar — no per-chunk signal copy, one compiled shape
             chunks.append(_octave_response_frames(
-                ypadT[:, c0:c0 + b_chunk] if b_chunk < b_pad else ypadT,
-                starts_dev, kmat_t, scales,
-                n_fft=n_fft, t_pad=t_pad, tile_t=tile_t,
+                ypadT, starts_dev, jnp.asarray([c0], jnp.int32),
+                kmat_t, scales, n_fft=n_fft, t_pad=t_pad, tile_t=tile_t,
+                b_chunk=(b_chunk if b_chunk < b_pad else 0),
                 interpret=interpret))
         resp = chunks[0] if len(chunks) == 1 \
             else jnp.concatenate(chunks, axis=2)
