@@ -61,6 +61,12 @@ class Config:
     # ---- tasks & loss ----
     local: bool = False         # per-window (local) key estimation
     loc_window_size: int = 10   # seconds per local prediction
+    # training-loss weight on windows that straddle a modulation boundary
+    # (their single label covers only part of the audio they see —
+    # KeyDataset.py:379-412's half-window majority rule). 1.0 = reference
+    # behavior; 0.0 masks them out of the local loss entirely. Validation
+    # metrics always score every valid window regardless.
+    straddle_weight: float = 1.0
     genre: bool = False         # add genre head/loss
     key_weight: float = 1.0
     tonic_weight: float = 1.0

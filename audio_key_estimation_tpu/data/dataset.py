@@ -216,21 +216,27 @@ class KeyDataset:
         key_sig = loader.get_key_signature(fn)
         genre = (loader.get_genre(fn) if self.genre
                  else np.zeros(11, np.float32))
+        coverage = None
         if cfg.local and isinstance(key_sig, (list, tuple)):
             key, sig, tonic, cut, keep = L.local_labels(
                 key_sig, loader.keys, loader.signature, cfg.frames,
                 cfg.loc_window_size)
             mel = mel[:, cut:][:, :keep]
+            coverage = L.local_window_coverage(key_sig, cfg.frames,
+                                               cfg.loc_window_size)
         elif cfg.local:
             t = mel.shape[-1] - (cfg.loc_window_size * cfg.frames - 1)
             key, sig, tonic = L.tiled_local_labels(
                 key_sig, loader.keys, loader.signature, max(t, 0))
+            coverage = np.ones(max(t, 0), np.float32)  # single-key song
         else:
             key, sig, tonic = L.global_labels(key_sig, loader.keys,
                                               loader.signature)
         item_extra = {}
         if mel2 is not None:
             item_extra["mel2"] = mel2.astype(np.float32)
+        if coverage is not None:
+            item_extra["window_coverage"] = coverage.astype(np.float32)
         self.items.append({
             **item_extra,
             "file": fn, "dataset": loader.name, "mel": mel.astype(np.float32),
@@ -297,6 +303,12 @@ class KeyDataset:
                     for k, it in enumerate(items):
                         arr[k, :it[name].shape[0]] = it[name]
                     batch[name] = arr
+                if "window_coverage" in items[0]:
+                    cov = np.zeros((len(items), lab_t), np.float32)
+                    for k, it in enumerate(items):
+                        c = it["window_coverage"]
+                        cov[k, :c.shape[0]] = c
+                    batch["window_coverage"] = cov
             else:
                 for name in ("key_labels", "key_signature_id", "tonic_labels"):
                     batch[name] = np.stack([it[name] for it in items])

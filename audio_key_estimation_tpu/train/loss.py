@@ -65,14 +65,26 @@ def compute_loss(cfg: Config, outputs, batch, sample_weights=None):
         valid = (batch["seq_length"] - cfg.loc_window_size * cfg.frames + 1)
         valid = jnp.maximum(valid, 0)
         t = key_out.shape[1]
-        mask = jnp.arange(t)[None, :] < valid[:, None]          # (N, T)
-        denom = jnp.maximum(valid, 1).astype(key_out.dtype)
+        mask = jnp.arange(t)[None, :] < valid[:, None]          # (N, T) bool
+        wmask = mask.astype(key_out.dtype)                       # (N, T)
+        if cfg.straddle_weight != 1.0 and "window_coverage" in batch:
+            # down-weight (or mask, at 0.0) windows whose label segment does
+            # not cover their full audio span — the structural label noise
+            # quantified by scripts/local_ceiling_analysis.py. The weighted
+            # mean renormalizes by the surviving weight so pure windows are
+            # not diluted; a sample with no surviving windows contributes 0.
+            cov = batch["window_coverage"][:, :t]
+            wmask = wmask * jnp.where(cov >= 1.0, 1.0, cfg.straddle_weight)
+            denom = jnp.maximum(jnp.sum(wmask, axis=-1),
+                                1.0).astype(key_out.dtype)
+        else:
+            denom = jnp.maximum(valid, 1).astype(key_out.dtype)
         bce_frames = _bce(key_out, key_labels).mean(-1)          # (N, T)
-        bce_loss = _wmean(jnp.where(mask, bce_frames, 0).sum(-1) / denom,
+        bce_loss = _wmean((wmask * bce_frames).sum(-1) / denom,
                           sample_weights)
         tonic_idx = jnp.argmax(tonic_labels, axis=2)
         ce_frames = _cross_entropy(tonic_out, tonic_idx)         # (N, T)
-        tonic_loss = _wmean(jnp.where(mask, ce_frames, 0).sum(-1) / denom,
+        tonic_loss = _wmean((wmask * ce_frames).sum(-1) / denom,
                             sample_weights)
     else:
         bce_loss = _wmean(_bce(key_out, key_labels).mean(-1), sample_weights)
@@ -100,7 +112,7 @@ def compute_loss(cfg: Config, outputs, batch, sample_weights=None):
             g = genre_out[:, :t]
             ce_frames = _cross_entropy(
                 g, jnp.broadcast_to(genre_idx[:, None], g.shape[:2]))  # (N, T)
-            ce = jnp.where(mask, ce_frames, 0).sum(-1) / denom     # (N,)
+            ce = (wmask * ce_frames).sum(-1) / denom               # (N,)
         else:
             ce = _cross_entropy(genre_out, genre_idx)              # (N,)
         gw = genre_mask.astype(ce.dtype)
@@ -126,7 +138,7 @@ def compute_loss(cfg: Config, outputs, batch, sample_weights=None):
             # TIME axis, a shape bug carried over from the global branch —
             # and averages over padded windows; this is the intended
             # masked per-window semantics instead.
-            cos = jnp.where(mask, cos, 0).sum(-1) / denom
+            cos = (wmask * cos).sum(-1) / denom
         cos_mean = _wmean(cos, sample_weights)
         loss = loss + (1 - cos_mean)
         aux["cos_sim"] = cos_mean

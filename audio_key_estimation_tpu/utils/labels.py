@@ -142,6 +142,35 @@ def local_labels(segments: Sequence[tuple], keys_vocab: Sequence[str],
     return key_labels, sig_ids, tonics, start_cut, keep_len
 
 
+def local_window_coverage(segments: Sequence[tuple], frames: int,
+                          loc_window_size: int) -> np.ndarray:
+    """Per-window coverage fraction of each window's ASSIGNED label segment.
+
+    Window j of the trimmed feature array spans absolute frames
+    [start_cut + j, start_cut + j + W), W = loc_window_size * frames, and
+    carries the label `local_labels` assigned it via the reference's
+    half-window majority rule (KeyDataset.py:379-412). Coverage is the
+    fraction of those W frames inside the assigned segment's span: 1.0 for
+    windows entirely within one annotation segment, < 1.0 for windows that
+    straddle a modulation boundary (whose label is therefore partly wrong
+    about the audio content — see scripts/local_ceiling_analysis.py).
+    Aligned row-for-row with `local_labels`' outputs.
+    """
+    W = loc_window_size * frames
+    n = len(segments)
+    start_cut = int(segments[0][0] * frames)
+    assigned = []
+    for i, (start, end, _key) in enumerate(segments):
+        si, ei = int(start * frames), int(end * frames)
+        r = max(local_segment_repeats(i, n, si, ei, W), 0)
+        assigned.extend([(si, ei)] * r)
+    cov = np.empty(len(assigned), np.float32)
+    for j, (si, ei) in enumerate(assigned):
+        a, b = start_cut + j, start_cut + j + W
+        cov[j] = max(0, min(b, ei) - max(a, si)) / W
+    return cov
+
+
 def tiled_local_labels(key_string: str, keys_vocab: Sequence[str],
                        signature_vocab: Sequence[str], time_length: int):
     """Global label tiled per frame (non-Winterreise local mode,

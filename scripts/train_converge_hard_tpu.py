@@ -185,19 +185,29 @@ def run_phase(phase: str, pilot: bool):
     # local: early stop monitors val_loss (reference train_model.py:110),
     # which bottoms out ~10 epochs before val MIREX stops climbing on the
     # modulating corpus — give it more rope
-    epochs = 6 if pilot else (80 if phase == "local" else 30)
+    is_local = phase.startswith("local")
+    # AKX_PILOT_EPOCHS extends a pilot past the 6-epoch default (e.g. to
+    # show the curve reaches its plateau, not just that it leaves chance)
+    epochs = (int(os.environ.get("AKX_PILOT_EPOCHS", 6)) if pilot
+              else (80 if is_local else 30))
     cfg = Config(octaves=8, num_layers=2, conv_layers=3, n_filters=4,
                  kernel_size=7, head_layers=2,
                  batch_size=8 if pilot else 16, acc_grad=1,
                  epochs=epochs, frames=5, bucket_sizes=(512,), no_ckpt=True,
                  early_stop_patience=(epochs if pilot
-                                      else 25 if phase == "local" else 10),
+                                      else 25 if is_local else 10),
                  lr=3e-4, reg=1e-4,
-                 local=(phase == "local"),
+                 local=is_local,
+                 # local_masked: drop modulation-straddling windows from the
+                 # TRAINING loss (their label covers only part of the window
+                 # — the structural noise local_ceiling_analysis.py measures
+                 # at 19.9% straddle / 7.1% content-label disagreement).
+                 # Validation still scores every valid window.
+                 straddle_weight=0.0 if phase == "local_masked" else 1.0,
                  multi_scale=(phase == "multi_scale"))
 
     t0 = time.time()
-    if phase == "local":
+    if is_local:
         tr_root, va_root = build_local_corpus(pilot)
         tr_loader = loaders.SchubertWinterreiseLoader(tr_root, local=True)
         va_loader = loaders.SchubertWinterreiseLoader(va_root, local=True)
@@ -232,14 +242,17 @@ def run_phase(phase: str, pilot: bool):
         f"Device: **{dev.device_kind}** (`{dev.platform}`)"
         + (" — PILOT RUN (reduced corpus/epochs)" if pilot else ""),
         f"Corpus: {len(train_ds)} train / {len(val_ds)} val polyphonic "
-        f"songs ({(30.0 if pilot else 90.0 if phase == 'local' else SECONDS):.0f}s), "
+        f"songs ({(30.0 if pilot else 90.0 if is_local else SECONDS):.0f}s), "
         "diatonic triad walks + melody + "
         "colored-noise bed + percussion, per-song tempo/velocity jitter, "
         f"train timbres {TRAIN_TIMBRES} vs val timbres {VAL_TIMBRES} "
         "(disjoint; within each split the timbre walks across the copies "
         "of every key, so timbre is decorrelated from key). "
         + ("Songs modulate mid-song (2-3 key segments, per-window labels)."
-           if phase == "local" else "One key per song, all 24 keys."),
+           if is_local else "One key per song, all 24 keys."),
+        ("Training loss MASKS straddling windows (straddle_weight=0); "
+         "validation scores all valid windows."
+         if phase == "local_masked" else ""),
         f"Flagship geometry, bs {cfg.batch_size}, lr {cfg.lr}, "
         f"{cfg.epochs} epochs"
         + (", two-scale ensemble (36+12 bins/oct)."
@@ -273,5 +286,5 @@ def run_phase(phase: str, pilot: bool):
 
 if __name__ == "__main__":
     phase = sys.argv[1] if len(sys.argv) > 1 else "global"
-    assert phase in ("global", "local", "multi_scale"), phase
+    assert phase in ("global", "local", "local_masked", "multi_scale"), phase
     run_phase(phase, pilot="--pilot" in sys.argv)

@@ -173,3 +173,85 @@ def test_loss_sample_weights_ignore_padded_rows(rng):
     unweighted, _ = compute_loss(cfg, (dup(key), dup(tonic), dup(genre)),
                                  padded)
     assert abs(float(unweighted) - float(ref)) > 1e-6  # bias existed
+
+
+def test_local_window_coverage_alignment_and_values():
+    """local_window_coverage rows align with local_labels; pure windows are
+    1.0, boundary-straddling windows fractional."""
+    from audio_key_estimation_tpu.utils import labels as L
+    frames, wsec = 5, 2            # W = 10 frames
+    segments = [(0.0, 8.0, "C:maj"), (8.0, 16.0, "G:maj"),
+                (16.0, 24.0, "D:maj")]
+    from audio_key_estimation_tpu.data.loaders import (_CHROM_FLAT,
+                                                        _CHROM_SHARP,
+                                                        keys_table)
+    keys = keys_table(lambda n: f'{n}:maj', lambda n: f'{n}:min')
+    signature = ([f'{n}:min' for n in _CHROM_SHARP]
+                 + [f'{n}:maj' for n in _CHROM_SHARP]
+                 + [f'{n}:min' for n in _CHROM_FLAT]
+                 + [f'{n}:maj' for n in _CHROM_FLAT])
+    key, sig, tonic, cut, keep = L.local_labels(
+        segments, keys, signature, frames, wsec)
+    cov = L.local_window_coverage(segments, frames, wsec)
+    assert cov.shape[0] == key.shape[0]
+    W = frames * wsec
+    # a window is pure iff its span sits inside one 40-frame segment
+    for j in range(cov.shape[0]):
+        a, b = cut + j, cut + j + W
+        pure = any(a >= s * frames and b <= e * frames
+                   for s, e, _ in segments)
+        if pure:
+            assert cov[j] == 1.0, j
+        else:
+            assert 0.0 <= cov[j] < 1.0, j
+    assert (cov < 1.0).any() and (cov == 1.0).any()
+
+
+def test_local_loss_straddle_weight(rng):
+    """straddle_weight=0 removes straddling windows from the local loss and
+    renormalizes; =1.0 is bit-identical to the reference behavior whether or
+    not coverage is present."""
+    cfg = Config(local=True, loc_window_size=2, frames=5)
+    n, t = 3, 12
+    key_out = jnp.asarray(rng.uniform(0.01, 0.99, (n, t, 12)), jnp.float32)
+    tonic_out = jnp.asarray(rng.normal(size=(n, t, 12)), jnp.float32)
+    key_labels = jnp.asarray(
+        KEY_SIGNATURE_MAP[rng.integers(0, 21, (n, t))], jnp.float32)
+    tonic_labels = jnp.asarray(
+        np.eye(12, dtype=np.float32)[rng.integers(0, 12, (n, t))])
+    seq = jnp.asarray(np.array([21, 18, 15], np.int32))  # valid = 12, 9, 6
+    cov = np.ones((n, t), np.float32)
+    cov[0, 3:6] = 0.4   # straddling windows in sample 0
+    cov[1, 0] = 0.7
+    base = {"key_labels": key_labels, "tonic_labels": tonic_labels,
+            "seq_length": seq}
+
+    ref, _ = compute_loss(cfg, (key_out, tonic_out), base)
+    with_cov, _ = compute_loss(
+        cfg, (key_out, tonic_out), dict(base, window_coverage=jnp.asarray(cov)))
+    assert float(ref) == float(with_cov)  # weight 1.0: coverage ignored
+
+    cfgm = cfg.replace(straddle_weight=0.0)
+    masked, auxm = compute_loss(
+        cfgm, (key_out, tonic_out), dict(base, window_coverage=jnp.asarray(cov)))
+
+    # manual recomputation: zero out straddling windows, renormalize
+    def manual():
+        p = np.clip(np.asarray(key_out), 1e-7, 1 - 1e-7)
+        y = np.asarray(key_labels)
+        bce = -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean(-1)
+        logits = np.asarray(tonic_out)
+        z = logits - logits.max(-1, keepdims=True)
+        logp = z - np.log(np.exp(z).sum(-1, keepdims=True))
+        ce = -np.take_along_axis(
+            logp, np.asarray(tonic_labels).argmax(-1)[..., None], -1)[..., 0]
+        valid = np.maximum(np.asarray(seq) - 10 + 1, 0)
+        w = (np.arange(t)[None] < valid[:, None]) * (cov >= 1.0)
+        den = np.maximum(w.sum(-1), 1.0)
+        return (((w * bce).sum(-1) / den).mean(),
+                ((w * ce).sum(-1) / den).mean())
+
+    mb, mc = manual()
+    exp = cfg.key_weight * mb + cfg.tonic_weight * mc
+    np.testing.assert_allclose(float(masked), exp, rtol=1e-5)
+    assert abs(float(masked) - float(ref)) > 1e-6  # it actually changed
