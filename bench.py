@@ -85,7 +85,8 @@ def _supervise():
                 timeout=min(attempt_timeout_s, remaining))
         except subprocess.TimeoutExpired:
             last_err = (f"attempt {attempt} timed out after "
-                        f"{attempt_timeout_s:.0f}s (TPU relay hang?)")
+                        f"{min(attempt_timeout_s, remaining):.0f}s "
+                        f"(TPU relay hang?)")
             print(last_err, file=sys.stderr, flush=True)
             continue
         out = proc.stdout.decode("utf-8", "replace").strip()

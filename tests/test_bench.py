@@ -18,7 +18,12 @@ BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 
 
 def _run(child_code, **env_over):
-    env = dict(os.environ, AKX_BENCH_TEST_CHILD=child_code, **env_over)
+    # empty pool-IPs skips the axon site-hook's TPU plugin registration in
+    # the child: without it, bare `python -c` startup imports the plugin
+    # (seconds under load) and can eat a short retry budget before the
+    # child code even runs
+    env = dict(os.environ, AKX_BENCH_TEST_CHILD=child_code,
+               PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu", **env_over)
     proc = subprocess.run([sys.executable, BENCH], env=env,
                           stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                           timeout=120)
@@ -36,7 +41,8 @@ def test_success_passthrough():
 
 def test_child_crash_emits_json_rc0():
     rc, out = _run("import sys; sys.exit(3)",
-                   AKX_BENCH_MAX_ATTEMPTS="2", AKX_BENCH_RETRY_BUDGET_S="4")
+                   AKX_BENCH_MAX_ATTEMPTS="2", AKX_BENCH_RETRY_BUDGET_S="60",
+                   AKX_BENCH_BACKOFF_S="0.2")
     assert rc == 0
     assert out["metric"] == "audio_min_per_sec_per_chip"
     assert out["value"] == 0.0
