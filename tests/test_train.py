@@ -133,6 +133,28 @@ def test_evaluate_masks_padded_samples(tmp_path):
     assert 0.0 <= out["mirex"] <= 1.0
 
 
+def test_evaluate_mesh_inflight_and_repeat_pad(tmp_path):
+    """The MAX_INFLIGHT sliding sync (trainer.py evaluate) combined with BOTH
+    an 8-device mesh and a repeat-padded final batch: 35 songs at batch 8 is
+    5 batches (> MAX_INFLIGHT=4, so the oldest-in-flight scalar fetch fires)
+    with 5 padded rows in the last batch. The mesh run must agree with the
+    single-device run on every aggregate."""
+    ds = _tiny_dataset(tmp_path, n=35)
+    cfg = CFG
+    optimizer = make_optimizer(cfg, 1)
+    model, state = create_train_state(cfg, jax.random.PRNGKey(0), optimizer)
+    eval_step = make_eval_step(model, cfg)
+    plain = evaluate(eval_step, state, ds, cfg.batch_size)
+
+    mesh = make_mesh()
+    state_r = replicate(state, mesh)
+    sharded = evaluate(eval_step, state_r, ds, cfg.batch_size, mesh=mesh)
+    assert sharded["num_samples"] == plain["num_samples"] == 35
+    for k in plain:
+        np.testing.assert_allclose(plain[k], sharded[k], rtol=1e-4,
+                                   atol=1e-5, err_msg=k)
+
+
 def test_multi_scale_training(tmp_path):
     """Two-resolution ensemble end to end: dataset produces mel2, the multi
     model trains one epoch (PitchClassNet_Multi capability,
