@@ -35,7 +35,16 @@ def _wmean(x, w):
     return jnp.sum(w * x) / jnp.maximum(jnp.sum(w), 1)
 
 
-def compute_loss(cfg: Config, outputs, batch, sample_weights=None):
+def _masked_sum(frames, wmask):
+    """sum(wmask * frames) over the window axis, with masked (weight-0)
+    positions contributing exactly 0 even when frames is inf/NaN there —
+    padded windows see zero-padded inputs, and 0 * inf = NaN would
+    otherwise poison the whole batch."""
+    return jnp.where(wmask > 0, wmask * frames, 0.0).sum(-1)
+
+
+def compute_loss(cfg: Config, outputs, batch, sample_weights=None,
+                 train=True):
     """Returns (loss, aux) for one batch.
 
     outputs: (key, tonic[, genre]) from the model.
@@ -48,6 +57,11 @@ def compute_loss(cfg: Config, outputs, batch, sample_weights=None):
     reported loss — without it a 9-sample set at batch_size 8 counts its
     last sample 8x in val_loss, the early-stopping signal. None (the
     train path, where every row is real) keeps plain means.
+
+    train: straddle down-weighting (cfg.straddle_weight, local mode) is a
+    TRAINING-loss treatment only; eval passes train=False so val_loss — the
+    early-stopping monitor — scores every valid window and stays comparable
+    between masked and unmasked runs.
     """
     if cfg.genre:
         key_out, tonic_out, genre_out = outputs
@@ -67,7 +81,8 @@ def compute_loss(cfg: Config, outputs, batch, sample_weights=None):
         t = key_out.shape[1]
         mask = jnp.arange(t)[None, :] < valid[:, None]          # (N, T) bool
         wmask = mask.astype(key_out.dtype)                       # (N, T)
-        if cfg.straddle_weight != 1.0 and "window_coverage" in batch:
+        if (train and cfg.straddle_weight != 1.0
+                and "window_coverage" in batch):
             # down-weight (or mask, at 0.0) windows whose label segment does
             # not cover their full audio span — the structural label noise
             # quantified by scripts/local_ceiling_analysis.py. The weighted
@@ -80,11 +95,11 @@ def compute_loss(cfg: Config, outputs, batch, sample_weights=None):
         else:
             denom = jnp.maximum(valid, 1).astype(key_out.dtype)
         bce_frames = _bce(key_out, key_labels).mean(-1)          # (N, T)
-        bce_loss = _wmean((wmask * bce_frames).sum(-1) / denom,
+        bce_loss = _wmean(_masked_sum(bce_frames, wmask) / denom,
                           sample_weights)
         tonic_idx = jnp.argmax(tonic_labels, axis=2)
         ce_frames = _cross_entropy(tonic_out, tonic_idx)         # (N, T)
-        tonic_loss = _wmean((wmask * ce_frames).sum(-1) / denom,
+        tonic_loss = _wmean(_masked_sum(ce_frames, wmask) / denom,
                             sample_weights)
     else:
         bce_loss = _wmean(_bce(key_out, key_labels).mean(-1), sample_weights)
@@ -112,7 +127,7 @@ def compute_loss(cfg: Config, outputs, batch, sample_weights=None):
             g = genre_out[:, :t]
             ce_frames = _cross_entropy(
                 g, jnp.broadcast_to(genre_idx[:, None], g.shape[:2]))  # (N, T)
-            ce = (wmask * ce_frames).sum(-1) / denom               # (N,)
+            ce = _masked_sum(ce_frames, wmask) / denom             # (N,)
         else:
             ce = _cross_entropy(genre_out, genre_idx)              # (N,)
         gw = genre_mask.astype(ce.dtype)
@@ -138,7 +153,7 @@ def compute_loss(cfg: Config, outputs, batch, sample_weights=None):
             # TIME axis, a shape bug carried over from the global branch —
             # and averages over padded windows; this is the intended
             # masked per-window semantics instead.
-            cos = (wmask * cos).sum(-1) / denom
+            cos = _masked_sum(cos, wmask) / denom
         cos_mean = _wmean(cos, sample_weights)
         loss = loss + (1 - cos_mean)
         aux["cos_sim"] = cos_mean

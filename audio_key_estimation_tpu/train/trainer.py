@@ -139,9 +139,12 @@ def make_eval_step(model, cfg: Config):
     def eval_step(state: TrainState, batch):
         outputs, _ = _forward(model, cfg, state.params, state.batch_stats,
                               batch, False)
-        # `valid` masks repeat-padded duplicate rows out of the loss
+        # `valid` masks repeat-padded duplicate rows out of the loss;
+        # train=False keeps straddle down-weighting out of val_loss (the
+        # early-stopping monitor scores every valid window)
         loss, aux = compute_loss(cfg, outputs, batch,
-                                 sample_weights=batch.get("valid"))
+                                 sample_weights=batch.get("valid"),
+                                 train=False)
         if cfg.genre:
             key_out, tonic_out, genre_out = outputs
         else:

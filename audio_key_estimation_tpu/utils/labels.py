@@ -103,6 +103,21 @@ def local_segment_repeats(i: int, n_segments: int, start_index: int,
     return half + complete + half
 
 
+def _assigned_segment_spans(segments: Sequence[tuple], frames: int,
+                            window_frames: int):
+    """One (start_idx, end_idx, segment_i) per label row, in the exact row
+    order `local_labels` emits (the reference's half-window majority rule,
+    KeyDataset.py:379-412). Single source of truth for the row→segment
+    assignment so labels and window-coverage can never drift apart."""
+    n = len(segments)
+    spans = []
+    for i, (start, end, _key) in enumerate(segments):
+        si, ei = int(start * frames), int(end * frames)
+        r = max(local_segment_repeats(i, n, si, ei, window_frames), 0)
+        spans.extend([(si, ei, i)] * r)
+    return spans
+
+
 def local_labels(segments: Sequence[tuple], keys_vocab: Sequence[str],
                  signature_vocab: Sequence[str], frames: int,
                  loc_window_size: int):
@@ -121,23 +136,14 @@ def local_labels(segments: Sequence[tuple], keys_vocab: Sequence[str],
     keep_len = T + (loc_window_size*frames - 1)   (KeyDataset.py:429-430).
     """
     window_frames = loc_window_size * frames
-    n = len(segments)
-    key_rows, sig_rows, tonic_rows = [], [], []
-    start_cut = 0
-    for i, (start, end, key_string) in enumerate(segments):
-        start_index = int(start * frames)
-        end_index = int(end * frames)
-        repeats = local_segment_repeats(i, n, start_index, end_index, window_frames)
-        repeats = max(repeats, 0)
-        if i == 0:
-            start_cut = int(start * frames)
-        k, s, t = global_labels(key_string, keys_vocab, signature_vocab)
-        key_rows.append(np.tile(k, (repeats, 1)))
-        sig_rows.append(np.tile(s, (repeats, 1)))
-        tonic_rows.append(np.tile(t, (repeats, 1)))
-    key_labels = np.concatenate(key_rows, axis=0)
-    sig_ids = np.concatenate(sig_rows, axis=0)
-    tonics = np.concatenate(tonic_rows, axis=0)
+    spans = _assigned_segment_spans(segments, frames, window_frames)
+    start_cut = int(segments[0][0] * frames)
+    per_seg = [global_labels(key_string, keys_vocab, signature_vocab)
+               for _start, _end, key_string in segments]
+    idx = np.array([i for _si, _ei, i in spans], np.intp)
+    key_labels = np.stack([k for k, _s, _t in per_seg])[idx]
+    sig_ids = np.stack([s for _k, s, _t in per_seg])[idx]
+    tonics = np.stack([t for _k, _s, t in per_seg])[idx]
     keep_len = key_labels.shape[0] + (window_frames - 1)
     return key_labels, sig_ids, tonics, start_cut, keep_len
 
@@ -157,15 +163,10 @@ def local_window_coverage(segments: Sequence[tuple], frames: int,
     Aligned row-for-row with `local_labels`' outputs.
     """
     W = loc_window_size * frames
-    n = len(segments)
     start_cut = int(segments[0][0] * frames)
-    assigned = []
-    for i, (start, end, _key) in enumerate(segments):
-        si, ei = int(start * frames), int(end * frames)
-        r = max(local_segment_repeats(i, n, si, ei, W), 0)
-        assigned.extend([(si, ei)] * r)
-    cov = np.empty(len(assigned), np.float32)
-    for j, (si, ei) in enumerate(assigned):
+    spans = _assigned_segment_spans(segments, frames, W)
+    cov = np.empty(len(spans), np.float32)
+    for j, (si, ei, _i) in enumerate(spans):
         a, b = start_cut + j, start_cut + j + W
         cov[j] = max(0, min(b, ei) - max(a, si)) / W
     return cov

@@ -235,6 +235,14 @@ def test_local_loss_straddle_weight(rng):
     masked, auxm = compute_loss(
         cfgm, (key_out, tonic_out), dict(base, window_coverage=jnp.asarray(cov)))
 
+    # eval path (train=False): straddle weighting must NOT apply — val_loss
+    # is the early-stopping monitor and scores every valid window, keeping
+    # masked and unmasked runs comparable
+    evalm, _ = compute_loss(
+        cfgm, (key_out, tonic_out),
+        dict(base, window_coverage=jnp.asarray(cov)), train=False)
+    assert float(evalm) == float(ref)
+
     # manual recomputation: zero out straddling windows, renormalize
     def manual():
         p = np.clip(np.asarray(key_out), 1e-7, 1 - 1e-7)
