@@ -84,21 +84,18 @@ def _response_plan(n_fft: int, b_pad: int, itemsize: int):
     per-lane working set = window scratch (win * itemsize) + f32 frame
     concat (n_fft * 4). b_chunk < b_pad means the caller runs the kernel
     per lane chunk; b_chunk == 0 means even 128 lanes do not fit and the
-    caller must fall back to the XLA path. A returned chunk always DIVIDES
-    b_pad (in 128-lane units) so every chunk shares one compiled kernel."""
+    caller must fall back to the XLA path. The caller chunks at b_chunk
+    with one smaller REMAINDER chunk when b_chunk does not divide b_pad —
+    at most two compiled shapes, and never the launch fragmentation a
+    divides-b_pad constraint degenerates to (e.g. 3x128-lane launches
+    where 256+128 would do, each re-reading kmat and re-running the
+    full t_pad grid)."""
     win = n_fft + _ALIGN_TM
     per_lane = win * itemsize + n_fft * 4
     if b_pad * per_lane <= _VMEM_BUDGET:
         tile_t = max(1, min(_TILE_T, _VMEM_BUDGET // (b_pad * per_lane)))
         return tile_t, b_pad
-    b_chunk = min(_VMEM_CHUNK_BUDGET // per_lane // 128 * 128, b_pad)
-    if b_chunk > 0:
-        units = b_pad // 128
-        cu = b_chunk // 128
-        while units % cu:     # largest divisor of b_pad's lane units <= cu
-            cu -= 1
-        b_chunk = cu * 128
-    return 1, b_chunk
+    return 1, min(_VMEM_CHUNK_BUDGET // per_lane // 128 * 128, b_pad)
 
 
 def downsample2_tm(y: jax.Array, taps, *, out_scale: float = 1.0):
@@ -332,11 +329,13 @@ def cqt_pallas(y: jax.Array, p: CQTParams, *,
         chunks = []
         for c0 in range(0, b_pad, b_chunk):
             # the kernel lane-slices ypadT in place in HBM via the lane0
-            # scalar — no per-chunk signal copy, one compiled shape
+            # scalar — no per-chunk signal copy; at most two compiled
+            # shapes (full chunks + one remainder)
+            bc = min(b_chunk, b_pad - c0)
             chunks.append(_octave_response_frames(
                 ypadT, starts_dev, jnp.asarray([c0], jnp.int32),
                 kmat_t, scales, n_fft=n_fft, t_pad=t_pad, tile_t=tile_t,
-                b_chunk=(b_chunk if b_chunk < b_pad else 0),
+                b_chunk=(bc if bc < b_pad else 0),
                 interpret=interpret))
         resp = chunks[0] if len(chunks) == 1 \
             else jnp.concatenate(chunks, axis=2)

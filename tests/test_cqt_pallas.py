@@ -149,6 +149,24 @@ def test_pallas_lane_chunked_large_nfft(rng, monkeypatch):
     np.testing.assert_allclose(got2, ref, rtol=1e-5, atol=1e-6)
 
 
+def test_pallas_remainder_chunk(rng, monkeypatch):
+    """A chunk size that does not divide b_pad runs full chunks plus one
+    smaller remainder chunk (256 + 128 at b_pad=384), not a degenerate
+    all-128 fragmentation; results match the XLA reference."""
+    from audio_key_estimation_tpu.ops import cqt_pallas as mod
+
+    y = rng.normal(size=(300, SR)).astype(np.float32)  # b_pad = 384
+    ref = np.asarray(cqt(jnp.asarray(y), P))
+    per_lane = (mod.kernel_bank(P)["n_fft"] + mod._ALIGN_TM) * 4 \
+        + mod.kernel_bank(P)["n_fft"] * 4
+    monkeypatch.setattr(mod, "_VMEM_BUDGET", 383 * per_lane)
+    monkeypatch.setattr(mod, "_VMEM_CHUNK_BUDGET", 257 * per_lane)
+    assert mod._response_plan(mod.kernel_bank(P)["n_fft"], 384, 4) \
+        == (1, 256)
+    got = np.asarray(mod.cqt_pallas(jnp.asarray(y), P, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_use_pallas_cqt_tristate_validation():
     """'auto' resolves by platform, bad strings fail loudly, bare CLI flag
     keeps its historical switch meaning."""
