@@ -37,6 +37,7 @@ stderr; stdout carries only the JSON line.
 import json
 import math
 import os
+import signal
 import subprocess
 import sys
 import tempfile
@@ -77,25 +78,48 @@ def _supervise():
         print(f"bench attempt {attempt}/{max_attempts} "
               f"(timeout {min(attempt_timeout_s, remaining):.0f}s)",
               file=sys.stderr, flush=True)
+        # stderr inherits (live diagnostics); stdout is captured so the
+        # supervisor's stdout carries exactly one JSON line. The child gets
+        # its own session so a timeout kills the WHOLE process group — the
+        # inner bench spawns helpers (binding.py's `make`), and an orphaned
+        # helper holding the build lock would poison every later attempt.
+        proc = subprocess.Popen(cmd, env=env, stdout=subprocess.PIPE,
+                                start_new_session=True)
         try:
-            # stderr inherits (live diagnostics); stdout is captured so the
-            # supervisor's stdout carries exactly one JSON line.
-            proc = subprocess.run(
-                cmd, env=env, stdout=subprocess.PIPE,
+            out, _ = proc.communicate(
                 timeout=min(attempt_timeout_s, remaining))
         except subprocess.TimeoutExpired:
+            try:
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            except (ProcessLookupError, PermissionError):
+                proc.kill()
+            proc.communicate()
             last_err = (f"attempt {attempt} timed out after "
                         f"{min(attempt_timeout_s, remaining):.0f}s "
                         f"(TPU relay hang?)")
             print(last_err, file=sys.stderr, flush=True)
             continue
-        out = proc.stdout.decode("utf-8", "replace").strip()
+        out = out.decode("utf-8", "replace").strip()
         line = out.splitlines()[-1] if out else ""
+        parsed = None
         if proc.returncode == 0 and line.startswith("{"):
+            try:
+                parsed = json.loads(line)
+            except ValueError:
+                parsed = None
+        if parsed is not None and parsed.get("value", 0) > 0:
             print(line, flush=True)
             return
-        last_err = (f"attempt {attempt} rc={proc.returncode}; "
-                    f"stdout tail: {line[-300:] or '(empty)'}")
+        if parsed is not None:
+            # the inner bench emitted its own zero-value failure JSON (e.g.
+            # every front-end raised mid-run): that is a failed attempt to
+            # RETRY, not a result to pass through — the relay-outage class
+            # this supervisor exists for is transient
+            last_err = (f"attempt {attempt} returned value 0.0: "
+                        f"{str(parsed.get('error', 'no front-end result'))}")
+        else:
+            last_err = (f"attempt {attempt} rc={proc.returncode}; "
+                        f"stdout tail: {line[-300:] or '(empty)'}")
         print(last_err, file=sys.stderr, flush=True)
         if attempt < max_attempts:
             time.sleep(min(backoff_s * attempt,

@@ -12,6 +12,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))), "bench.py")
@@ -56,6 +57,53 @@ def test_child_hang_times_out_emits_json_rc0():
     assert rc == 0
     assert out["value"] == 0.0
     assert "timed out" in out["error"]
+
+
+def test_zero_value_inner_json_is_retried(tmp_path):
+    """An inner bench that emits its own value-0.0 failure JSON (every
+    front-end raised mid-run) is a FAILED attempt: the supervisor retries
+    instead of passing the zero through as a result."""
+    marker = tmp_path / "attempt1"
+    code = (f"import os, sys\n"
+            f"p = {str(marker)!r}\n"
+            f"if not os.path.exists(p):\n"
+            f"    open(p, 'w').close()\n"
+            f"    print('{{\"metric\": \"audio_min_per_sec_per_chip\", "
+            f"\"value\": 0.0, \"vs_baseline\": 0.0}}')\n"
+            f"    sys.exit(0)\n"
+            f"print('{{\"metric\": \"audio_min_per_sec_per_chip\", "
+            f"\"value\": 9.0}}')\n")
+    rc, out = _run(code, AKX_BENCH_MAX_ATTEMPTS="3",
+                   AKX_BENCH_RETRY_BUDGET_S="90", AKX_BENCH_BACKOFF_S="0.2")
+    assert rc == 0
+    assert out["value"] == 9.0
+
+
+def test_hang_kills_child_process_group(tmp_path):
+    """On attempt timeout the supervisor SIGKILLs the child's whole process
+    group, so helpers the inner bench spawned (e.g. binding.py's `make`)
+    cannot survive to poison later attempts."""
+    pidfile = tmp_path / "grandchild.pid"
+    code = (f"import subprocess, time\n"
+            f"p = subprocess.Popen(['sleep', '600'])\n"
+            f"open({str(pidfile)!r}, 'w').write(str(p.pid))\n"
+            f"time.sleep(600)\n")
+    rc, out = _run(code, AKX_BENCH_MAX_ATTEMPTS="1",
+                   AKX_BENCH_ATTEMPT_TIMEOUT_S="3")
+    assert rc == 0 and out["value"] == 0.0
+    gpid = int(pidfile.read_text())
+
+    def _gone(pid):
+        try:  # dead-or-zombie counts as killed (init reaps zombies async)
+            with open(f"/proc/{pid}/stat") as f:
+                return f.read().split(")")[-1].split()[0] == "Z"
+        except OSError:
+            return True
+
+    deadline = time.time() + 5
+    while not _gone(gpid) and time.time() < deadline:
+        time.sleep(0.2)
+    assert _gone(gpid), "grandchild survived the process-group kill"
 
 
 def test_retries_then_succeeds(tmp_path):
