@@ -19,6 +19,12 @@ via ACC stacked microbatches exactly like microbench_trainstep.py.
 Usage (serially, one TPU process):
     python scripts/profile_trainstep_bwd.py
 Appends a summary block to stderr; paste into PERFNOTES.md once verified.
+
+AKX_COMPILE_ONLY=1 skips execution and prints only the XLA cost analysis
+(flops / bytes accessed) of each stage — usable on CPU while the relay is
+down: FLOP counts are HLO-level and carry over to the TPU lowering, so the
+fwd-vs-bwd FLOP split and traffic ratios can be derived ahead of the wall
+measurements.
 """
 import os
 import sys
@@ -116,11 +122,22 @@ def run_variant(cfg, bs, rng, tag):
     fwd = scan_of(loss_fn)
     fwdbwd = scan_of(loss_and_gradsum)
 
+    compile_only = bool(os.environ.get("AKX_COMPILE_ONLY"))
     rows = {}
     for name, fn, args in (
             ("fwd", fwd, (state.params, batch)),
             ("fwd+bwd", fwdbwd, (state.params, batch)),
             ("step", jax.jit(step), (state, batch))):
+        if compile_only:
+            fl, by = cost(jax.jit(fn).lower(*args).compile())
+            rows[name] = (float("nan"), fl / ACC, by / ACC)
+            log(f"  [{tag} bs={bs}] {name:8s} (compile-only)  "
+                f"{fl / ACC / 1e9:7.1f} GF  {by / ACC / 1e9:7.2f} GB "
+                f"per microbatch")
+            continue
+        # timeit FIRST: cost()'s .compile() would populate the persistent
+        # compile cache and turn the logged compile figure into a
+        # cache-deserialize time
         best, comp = timeit(fn, *args)
         fl, by = cost(jax.jit(fn).lower(*args).compile())
         per = best / ACC
@@ -133,6 +150,13 @@ def run_variant(cfg, bs, rng, tag):
     f_t, f_fl, f_by = rows["fwd"]
     b_t, b_fl, b_by = rows["fwd+bwd"]
     s_t, s_fl, s_by = rows["step"]
+    if compile_only:
+        log(f"  [{tag} bs={bs}] bwd-only delta: "
+            f"{(b_fl - f_fl) / 1e9:7.1f} GF ({(b_fl / max(f_fl, 1.0)):.2f}x "
+            f"fwd), {(b_by - f_by) / 1e9:7.2f} GB "
+            f"({(b_by / max(f_by, 1.0)):.2f}x fwd); optimizer+carry "
+            f"{(s_by - b_by) / 1e9:+7.2f} GB")
+        return rows
     log(f"  [{tag} bs={bs}] bwd-only delta: {(b_t - f_t) * 1e3:8.2f} ms, "
         f"{(b_fl - f_fl) / 1e9:7.1f} GF, {(b_by - f_by) / 1e9:7.2f} GB -> "
         f"MFU {(b_fl - f_fl) / max(b_t - f_t, 1e-9) / F32_PEAK * 100:5.1f}%"
