@@ -204,7 +204,12 @@ def run_phase(phase: str, pilot: bool):
                  # at 19.9% straddle / 7.1% content-label disagreement).
                  # Validation still scores every valid window.
                  straddle_weight=0.0 if phase == "local_masked" else 1.0,
-                 multi_scale=(phase == "multi_scale"))
+                 multi_scale=(phase == "multi_scale"),
+                 # AKX_DTYPE=bfloat16 runs the same phase with bf16 compute
+                 # (weights/optimizer stay f32) — the convergence-parity leg
+                 # of the train-throughput experiment; artifact gets a
+                 # _BF16 suffix so it never overwrites the f32 record
+                 dtype=os.environ.get("AKX_DTYPE", "float32"))
 
     t0 = time.time()
     if is_local:
@@ -255,6 +260,8 @@ def run_phase(phase: str, pilot: bool):
          if phase == "local_masked" else ""),
         f"Flagship geometry, bs {cfg.batch_size}, lr {cfg.lr}, "
         f"{cfg.epochs} epochs"
+        + (", bf16 compute (f32 weights/optimizer)"
+           if cfg.dtype == "bfloat16" else "")
         + (", two-scale ensemble (36+12 bins/oct)."
            if phase == "multi_scale" else "."),
         "",
@@ -277,6 +284,7 @@ def run_phase(phase: str, pilot: bool):
         f"preprocess {prep_s:.0f}s.",
     ]
     out = os.path.join(REPO, f"CONVERGE_{phase.upper()}"
+                       + ("_BF16" if cfg.dtype == "bfloat16" else "")
                        + ("_PILOT" if pilot else "") + ".md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
