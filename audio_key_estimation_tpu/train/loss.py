@@ -79,8 +79,8 @@ def compute_loss(cfg: Config, outputs, batch, sample_weights=None,
         valid = (batch["seq_length"] - cfg.loc_window_size * cfg.frames + 1)
         valid = jnp.maximum(valid, 0)
         t = key_out.shape[1]
-        mask = jnp.arange(t)[None, :] < valid[:, None]          # (N, T) bool
-        wmask = mask.astype(key_out.dtype)                       # (N, T)
+        wmask = (jnp.arange(t)[None, :]
+                 < valid[:, None]).astype(key_out.dtype)         # (N, T)
         if (train and cfg.straddle_weight != 1.0
                 and "window_coverage" in batch):
             # down-weight (or mask, at 0.0) windows whose label segment does

@@ -107,15 +107,17 @@ def _supervise():
                 parsed = json.loads(line)
             except ValueError:
                 parsed = None
-        if parsed is not None and parsed.get("value", 0) > 0:
+        value = parsed.get("value") if parsed is not None else None
+        if isinstance(value, (int, float)) and value > 0:
             print(line, flush=True)
             return
         if parsed is not None:
             # the inner bench emitted its own zero-value failure JSON (e.g.
-            # every front-end raised mid-run): that is a failed attempt to
-            # RETRY, not a result to pass through — the relay-outage class
-            # this supervisor exists for is transient
-            last_err = (f"attempt {attempt} returned value 0.0: "
+            # every front-end raised mid-run), or a malformed non-numeric
+            # value: either way a failed attempt to RETRY, not a result to
+            # pass through — the relay-outage class this supervisor exists
+            # for is transient
+            last_err = (f"attempt {attempt} returned value {value!r}: "
                         f"{str(parsed.get('error', 'no front-end result'))}")
         else:
             last_err = (f"attempt {attempt} rc={proc.returncode}; "

@@ -255,9 +255,9 @@ def run_phase(phase: str, pilot: bool):
         "of every key, so timbre is decorrelated from key). "
         + ("Songs modulate mid-song (2-3 key segments, per-window labels)."
            if is_local else "One key per song, all 24 keys."),
-        ("Training loss MASKS straddling windows (straddle_weight=0); "
-         "validation scores all valid windows."
-         if phase == "local_masked" else ""),
+        *(["Training loss MASKS straddling windows (straddle_weight=0); "
+           "validation scores all valid windows."]
+          if phase == "local_masked" else []),
         f"Flagship geometry, bs {cfg.batch_size}, lr {cfg.lr}, "
         f"{cfg.epochs} epochs"
         + (", bf16 compute (f32 weights/optimizer)"
