@@ -106,6 +106,24 @@ def test_hang_kills_child_process_group(tmp_path):
     assert _gone(gpid), "grandchild survived the process-group kill"
 
 
+def test_timeout_salvages_partial_result():
+    """The inner bench re-emits its full JSON report after every
+    measurement; if every attempt times out, the supervisor salvages the
+    best-so-far line from the killed child's stdout (flagged partial)
+    instead of reporting an undiagnosable zero (VERDICT r3 item 1)."""
+    code = ("import time\n"
+            "print('{\"metric\": \"audio_min_per_sec_per_chip\", "
+            "\"value\": 11.5, \"fronts\": {\"pallas\": {}}}', flush=True)\n"
+            "time.sleep(600)\n")
+    rc, out = _run(code, AKX_BENCH_MAX_ATTEMPTS="1",
+                   AKX_BENCH_ATTEMPT_TIMEOUT_S="3")
+    assert rc == 0
+    assert out["value"] == 11.5
+    assert out["partial"] is True
+    assert "timed out" in out["error"]
+    assert "pallas" in out["fronts"]
+
+
 def test_retries_then_succeeds(tmp_path):
     """First attempt crashes, second succeeds — supervisor retries."""
     marker = tmp_path / "attempt1"

@@ -15,6 +15,11 @@ from audio_key_estimation_tpu.scrape import song_lists
 from audio_key_estimation_tpu.scrape.youtube import (Candidate, best_candidate,
                                                      jaccard, scrape)
 
+import pytest
+
+# compile-heavy module: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 
 def test_equivariance_cli_check_passes():
     cfg = Config(octaves=4, num_layers=2, conv_layers=1, n_filters=2,
@@ -135,13 +140,27 @@ def test_train_and_eval_cli_debug(tmp_path, monkeypatch):
     assert results == {}  # no_test+debug: only validation printed
 
 
-def test_dryrun_multichip_8_devices(monkeypatch):
+@pytest.mark.parametrize("mode", ["global", "local", "multi_scale"])
+def test_dryrun_multichip_8_devices(monkeypatch, mode):
     # tiny geometry: the mesh/sharding machinery is what's under test; the
-    # driver runs the default FLAGSHIP geometry (~3 min XLA:CPU compile)
+    # driver runs the default FLAGSHIP geometry (~3 min XLA:CPU compile).
+    # All three training programs (masked-pooling global, sliding-max +
+    # per-window-loss local, two-tower multi_scale) must partition over the
+    # 8-device mesh — they have different SPMD surfaces (VERDICT r3 item 6).
     monkeypatch.setenv("AKX_DRYRUN_TINY", "1")
+    monkeypatch.setenv("AKX_DRYRUN_MODE", mode)
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_rejects_unknown_mode(monkeypatch):
+    monkeypatch.setenv("AKX_DRYRUN_TINY", "1")
+    monkeypatch.setenv("AKX_DRYRUN_MODE", "bogus")
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    with pytest.raises(RuntimeError, match="AKX_DRYRUN_MODE"):
+        ge.dryrun_multichip(8)
 
 
 def test_dryrun_multichip_hostile_parent_env(tmp_path):
@@ -166,7 +185,7 @@ def test_dryrun_multichip_hostile_parent_env(tmp_path):
         [sys.executable, "-c", script], env=env, cwd="/root/repo",
         capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stderr[-3000:]
-    assert "dryrun_multichip(8): ok" in proc.stdout
+    assert "dryrun_multichip(8) [global]: ok" in proc.stdout
 
 
 def test_bench_components(tmp_path, monkeypatch):

@@ -15,6 +15,11 @@ batch (lane-pad) handling.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+# interpreter-mode Pallas runs are compile-heavy: excluded from the fast
+# tier (pytest -m 'not slow'); test_cqt.py keeps a fast pallas smoke test
+pytestmark = pytest.mark.slow
 
 from audio_key_estimation_tpu.ops.cqt import CQTParams, cqt
 from audio_key_estimation_tpu.ops.cqt_pallas import cqt_pallas
@@ -171,8 +176,6 @@ def test_use_pallas_cqt_tristate_validation():
     """'auto' resolves by platform, bad strings fail loudly, bare CLI flag
     keeps its historical switch meaning."""
     import argparse
-
-    import pytest
 
     from audio_key_estimation_tpu.config import Config, add_config_args
 

@@ -33,6 +33,9 @@ import sys
 import numpy as np
 import pytest
 
+# compile-heavy module: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 jax = pytest.importorskip("jax")
 torch = pytest.importorskip("torch")
 import jax.numpy as jnp  # noqa: E402

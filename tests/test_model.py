@@ -11,6 +11,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# compile-heavy module: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 from audio_key_estimation_tpu.config import Config
 from audio_key_estimation_tpu.models import PitchClassNet
 from audio_key_estimation_tpu.models.multi_scale import init_multi_model

@@ -1,6 +1,7 @@
 """Serving API: key naming and batched file prediction."""
 
 import numpy as np
+import pytest
 
 from audio_key_estimation_tpu.config import Config
 from audio_key_estimation_tpu.predict import (KeyEstimator, Prediction,
@@ -77,8 +78,6 @@ def test_predict_multi_scale_round_trip(tmp_path):
     silently build the single-scale model) and reject a config/params
     architecture mismatch loudly."""
     import os
-
-    import pytest
 
     cfg = Config(octaves=4, num_layers=2, conv_layers=1, n_filters=2,
                  kernel_size=3, head_layers=1, multi_scale=True,

@@ -202,6 +202,9 @@ def test_multi_scale_port_round_trip(rng):
 
 import pytest  # noqa: E402
 
+# compile-heavy module: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 from torch_funcref import torch_forward, torch_forward_multi  # noqa: E402
 
 VARIANTS = {

@@ -18,6 +18,11 @@ from audio_key_estimation_tpu.train.trainer import (Trainer, create_train_state,
                                                     evaluate, make_eval_step,
                                                     make_train_step)
 
+import pytest
+
+# compile-heavy module: excluded from the fast tier (pytest -m 'not slow')
+pytestmark = pytest.mark.slow
+
 CFG = Config(octaves=4, num_layers=2, conv_layers=1, n_filters=2,
              kernel_size=3, head_layers=1, batch_size=8, acc_grad=2,
              epochs=2, frames=5, bucket_sizes=(32,), early_stop_patience=2)
