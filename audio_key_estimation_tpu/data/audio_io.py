@@ -4,9 +4,10 @@ Replaces the reference's torchaudio.load C++ boundary (KeyDataset.py:341).
 Returns (samples_float32_channel0, sample_rate) — the reference consumes
 channel 0 only (KeyDataset.py:481).
 
-MP3 is gated: this environment ships no mp3 decoder; if an `ffmpeg` or
-`mpg123` binary exists on PATH it is used to transcode to wav on the fly,
-otherwise a clear error points at pre-converting the corpus.
+MP3 decodes in-tree (data/mp3.py, MPEG-1 Layer III — covers the scraped
+corpora, which are 44.1 kHz MPEG-1): no external binary needed. LSF files
+(MPEG-2/2.5) fall back to an `ffmpeg`/`mpg123` transcode when one exists
+on PATH, otherwise a clear error points at pre-converting the corpus.
 """
 
 from __future__ import annotations
@@ -192,11 +193,17 @@ def decode_audio(path: str, raw: bool = False):
     """
     ext = os.path.splitext(path)[1].lower()
     if ext == ".mp3":
-        tmp = _transcode_to_wav(path)
+        from .mp3 import Mp3Error, decode_mp3_file
         try:
-            return decode_audio(tmp, raw=raw)
-        finally:
-            os.unlink(tmp)
+            pcm, sr = decode_mp3_file(path)
+            return np.ascontiguousarray(pcm[:, 0]), sr
+        except Mp3Error:
+            # MPEG-2/2.5 (LSF) or damaged stream: external transcode fallback
+            tmp = _transcode_to_wav(path)
+            try:
+                return decode_audio(tmp, raw=raw)
+            finally:
+                os.unlink(tmp)
     if raw:
         out = _decode_wav_raw(path)
         if out is not None:

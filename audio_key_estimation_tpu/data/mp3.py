@@ -1,0 +1,673 @@
+"""MPEG-1 Layer III decoder (pure Python + numpy).
+
+Self-contained replacement for the reference's torchaudio mp3 decode
+(reference KeyDataset.py:341): 8 of the 14 corpora — KeyFinder, McGill
+Billboard, Tonality, Beatles/KingCarole/Queen/Zweieck, UltimateSongs
+(KeyDataset.py:779-833, 1039-1234) — ship as mp3. This module is the
+numpy fallback and the executable specification for the C++ fast path
+(native/akx_mp3.cpp); both are validated against an independent decoder
+(the libavcodec bundled by the opencv wheel) by randomized differential
+tests over the full format surface in tests/test_mp3.py.
+
+Scope: MPEG-1 Layer III (32/44.1/48 kHz), mono and stereo, long / start /
+short / stop and mixed blocks, MS stereo, intensity stereo, scfsi, the
+bit reservoir, preflag/scalefac_scale/subblock_gain, all Huffman tables.
+MPEG-2/2.5 (LSF) raises Mp3Error — the scraped corpora are 44.1 kHz
+MPEG-1; LSF files must be transcoded (data/audio_io.py's ffmpeg gate).
+
+Bitstream constants come from data/_mp3_tables.py (reconstructed
+behaviorally from a reference decoder — see scripts/extract_mp3_tables.py
+for the protocol and provenance).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import _mp3_tables as T
+
+
+class Mp3Error(RuntimeError):
+    pass
+
+
+SR_TABLE = (44100, 48000, 32000)
+BITRATE_TABLE = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 160, 192, 224, 256, 320)
+
+# ---------------------------------------------------------------- tables
+
+
+def _decode_tree(rows):
+    """{(hlen, hcod): value} lookup for incremental bit-by-bit decode."""
+    return {(r[0], r[1]): tuple(r[2:]) for r in rows}
+
+
+_BIG_TREES = {t: _decode_tree(rows) for t, rows in T.HUFF_DECODE.items()}
+_C1_TREES = (_decode_tree(T.COUNT1A_DECODE), _decode_tree(T.COUNT1B_DECODE))
+_MAX_CODE = {t: max(r[0] for r in rows) for t, rows in T.HUFF_DECODE.items()}
+_C1_MAX = tuple(max(r[0] for r in rows)
+                for rows in (T.COUNT1A_DECODE, T.COUNT1B_DECODE))
+
+# alias-reduction butterflies (ISO 2.4.3.4.10.1; closed form from the 8 ci)
+_CI = np.array([-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
+                -0.0037])
+_CS = 1.0 / np.sqrt(1.0 + _CI * _CI)
+_CA = _CI * _CS
+
+# IMDCT windows (ISO 2.4.3.4.10.3; closed form)
+
+
+def _imdct_windows():
+    n = np.arange(36)
+    w = {0: np.sin(np.pi / 36 * (n + 0.5))}
+    start = np.sin(np.pi / 36 * (n + 0.5)).copy()
+    start[18:24] = 1.0
+    start[24:30] = np.sin(np.pi / 12 * (np.arange(24, 30) - 18 + 0.5))
+    start[30:] = 0.0
+    w[1] = start
+    stop = np.sin(np.pi / 36 * (n + 0.5)).copy()
+    stop[:6] = 0.0
+    stop[6:12] = np.sin(np.pi / 12 * (np.arange(6, 12) - 6 + 0.5))
+    stop[12:18] = 1.0
+    w[3] = stop
+    w[2] = np.sin(np.pi / 12 * (np.arange(12) + 0.5))
+    return w
+
+
+_WIN = _imdct_windows()
+
+# IMDCT basis matrices: x = M @ X
+_I36 = np.cos(np.pi / 72 * ((2 * np.arange(36)[:, None] + 1 + 18)
+                            * (2 * np.arange(18)[None, :] + 1)))
+_I12 = np.cos(np.pi / 24 * ((2 * np.arange(12)[:, None] + 1 + 6)
+                            * (2 * np.arange(6)[None, :] + 1)))
+
+# synthesis matrixing: V[i] = sum_k N[i,k] S[k], N = cos((16+i)(2k+1)pi/64)
+_N64 = np.cos(np.pi / 64 * ((16 + np.arange(64)[:, None])
+                            * (2 * np.arange(32)[None, :] + 1)))
+
+try:
+    from ._mp3_synth import SYNTH_D as _SYNTH_D
+    _D = np.asarray(_SYNTH_D, np.float64)
+except ImportError:       # window not generated yet (see _Synth)
+    _D = None
+
+_PRETAB = np.asarray(T.PRETAB, np.float64)
+
+
+# ---------------------------------------------------------------- bits
+
+class _Bits:
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos          # bit position
+
+    def get(self, n: int) -> int:
+        v = 0
+        pos = self.pos
+        data = self.data
+        for _ in range(n):
+            byte = data[pos >> 3] if (pos >> 3) < len(data) else 0
+            v = (v << 1) | ((byte >> (7 - (pos & 7))) & 1)
+            pos += 1
+        self.pos = pos
+        return v
+
+    def get1(self) -> int:
+        pos = self.pos
+        byte = self.data[pos >> 3] if (pos >> 3) < len(self.data) else 0
+        self.pos = pos + 1
+        return (byte >> (7 - (pos & 7))) & 1
+
+
+# ---------------------------------------------------------------- header
+
+class _Header:
+    __slots__ = ("sr", "bitrate", "padding", "mode", "mode_ext", "crc",
+                 "frame_bytes", "nch")
+
+    def __init__(self, b: bytes, off: int):
+        h = (b[off] << 24) | (b[off + 1] << 16) | (b[off + 2] << 8) \
+            | b[off + 3]
+        if (h >> 21) & 0x7FF != 0x7FF:
+            raise Mp3Error("lost sync")
+        version = (h >> 19) & 3
+        layer = (h >> 17) & 3
+        if layer != 1:
+            raise Mp3Error(f"not Layer III (layer bits {layer})")
+        if version != 3:
+            raise Mp3Error(
+                "MPEG-2/2.5 (LSF) stream: only MPEG-1 Layer III is "
+                "supported natively; transcode this file")
+        self.crc = ((h >> 16) & 1) == 0
+        bi = (h >> 12) & 0xF
+        si = (h >> 10) & 3
+        if bi == 0 or bi == 15 or si == 3:
+            raise Mp3Error("free-format or bad bitrate/samplerate index")
+        self.bitrate = BITRATE_TABLE[bi]
+        self.sr = SR_TABLE[si]
+        self.padding = (h >> 9) & 1
+        self.mode = (h >> 6) & 3
+        self.mode_ext = (h >> 4) & 3
+        self.nch = 1 if self.mode == 3 else 2
+        self.frame_bytes = 144 * self.bitrate * 1000 // self.sr \
+            + self.padding
+
+
+def _is_sync(b: bytes, off: int) -> bool:
+    try:
+        _Header(b, off)
+        return True
+    except Mp3Error:
+        return False
+
+
+# ---------------------------------------------------------------- side info
+
+class _Granule:
+    __slots__ = ("part2_3_length", "big_values", "global_gain",
+                 "scalefac_compress", "window_switching", "block_type",
+                 "mixed_block", "table_select", "subblock_gain",
+                 "region0_count", "region1_count", "preflag",
+                 "scalefac_scale", "count1table_select", "scalefac_l",
+                 "scalefac_s")
+
+
+def _read_side_info(bits: _Bits, nch: int):
+    main_data_begin = bits.get(9)
+    bits.get(5 if nch == 1 else 3)
+    scfsi = [[bits.get1() for _ in range(4)] for _ in range(nch)]
+    granules = []
+    for _gr in range(2):
+        chs = []
+        for _ch in range(nch):
+            g = _Granule()
+            g.part2_3_length = bits.get(12)
+            g.big_values = bits.get(9)
+            g.global_gain = bits.get(8)
+            g.scalefac_compress = bits.get(4)
+            g.window_switching = bool(bits.get1())
+            if g.window_switching:
+                g.block_type = bits.get(2)
+                g.mixed_block = bool(bits.get1())
+                g.table_select = (bits.get(5), bits.get(5), 0)
+                g.subblock_gain = (bits.get(3), bits.get(3), bits.get(3))
+                # ISO 2.4.2.7 fixed region split for switched blocks
+                g.region0_count = 8 if g.block_type == 2 and \
+                    not g.mixed_block else 7
+                g.region1_count = 20 - g.region0_count
+                if g.block_type == 0:
+                    raise Mp3Error("window_switching with block_type 0")
+            else:
+                g.block_type = 0
+                g.mixed_block = False
+                g.table_select = (bits.get(5), bits.get(5), bits.get(5))
+                g.subblock_gain = (0, 0, 0)
+                g.region0_count = bits.get(4)
+                g.region1_count = bits.get(3)
+            g.preflag = bits.get1()
+            g.scalefac_scale = bits.get1()
+            g.count1table_select = bits.get1()
+            chs.append(g)
+        granules.append(chs)
+    return main_data_begin, scfsi, granules
+
+
+# ------------------------------------------------------------- scalefactors
+
+def _read_scalefactors(bits: _Bits, g: _Granule, gr: int, scfsi,
+                       prev: "_Granule | None"):
+    """Fills g.scalefac_l (22) / g.scalefac_s (13, 3); returns part2 bits."""
+    s1, s2 = T.SLEN[g.scalefac_compress]
+    start = bits.pos
+    short = g.window_switching and g.block_type == 2
+    g.scalefac_l = np.zeros(22, np.int32)
+    g.scalefac_s = np.zeros((13, 3), np.int32)
+    if short:
+        if g.mixed_block:
+            for sfb in range(8):
+                g.scalefac_l[sfb] = bits.get(s1)
+            for sfb in range(3, 6):
+                for w in range(3):
+                    g.scalefac_s[sfb, w] = bits.get(s1)
+            for sfb in range(6, 12):
+                for w in range(3):
+                    g.scalefac_s[sfb, w] = bits.get(s2)
+        else:
+            for sfb in range(6):
+                for w in range(3):
+                    g.scalefac_s[sfb, w] = bits.get(s1)
+            for sfb in range(6, 12):
+                for w in range(3):
+                    g.scalefac_s[sfb, w] = bits.get(s2)
+    else:
+        bands = ((0, 6, s1), (6, 11, s1), (11, 16, s2), (16, 21, s2))
+        for grp, (lo, hi, sl) in enumerate(bands):
+            if gr == 1 and scfsi[grp] and prev is not None:
+                g.scalefac_l[lo:hi] = prev.scalefac_l[lo:hi]
+            else:
+                for sfb in range(lo, hi):
+                    g.scalefac_l[sfb] = bits.get(sl)
+    return bits.pos - start
+
+
+# ------------------------------------------------------------- huffman
+
+def _huff_read(bits: _Bits, tree, max_len: int):
+    code = 0
+    length = 0
+    while length <= max_len:
+        code = (code << 1) | bits.get1()
+        length += 1
+        v = tree.get((length, code))
+        if v is not None:
+            return v
+    raise Mp3Error("invalid Huffman code")
+
+
+def _region_boundaries(g: _Granule, sr: int):
+    band = T.SFB_LONG[sr]
+    if g.window_switching:
+        # switched blocks: region0 = 36 lines, region1 = the rest
+        return 36, 576
+    r0 = band[min(g.region0_count + 1, 22)]
+    r1 = band[min(g.region0_count + 1 + g.region1_count + 1, 22)]
+    return r0, r1
+
+
+def _read_huffman(bits: _Bits, g: _Granule, sr: int, part2_3: int,
+                  part2: int):
+    """576 integer spectral values + count1 end line."""
+    is_ = np.zeros(576, np.int32)
+    end = bits.pos - part2 + part2_3   # absolute bit end of this section
+    r0, r1 = _region_boundaries(g, sr)
+    big_end = min(2 * g.big_values, 576)
+    line = 0
+    while line < big_end:
+        if bits.pos >= end:
+            break   # reference behavior: remaining big values are zero
+        region = 0 if line < r0 else (1 if line < r1 else 2)
+        tab = g.table_select[region]
+        if tab in (0, 4, 14):
+            line += 2
+            continue
+        base = T.PAIR_TABLE.get(tab, tab)
+        linbits = T.LINBITS.get(tab, 0)
+        x, y = _huff_read(bits, _BIG_TREES[base], _MAX_CODE[base])
+        if x == 15 and linbits:
+            x += bits.get(linbits)
+        if x and bits.get1():
+            x = -x
+        if y == 15 and linbits:
+            y += bits.get(linbits)
+        if y and bits.get1():
+            y = -y
+        if line + 1 < 576:
+            is_[line] = x
+            is_[line + 1] = y
+        line += 2
+    # count1 region
+    tree = _C1_TREES[g.count1table_select]
+    maxlen = _C1_MAX[g.count1table_select]
+    while bits.pos < end and line + 3 < 576:
+        mark = bits.pos
+        try:
+            quad = _huff_read(bits, tree, maxlen)
+        except Mp3Error:
+            bits.pos = mark
+            break
+        vals = []
+        for v in quad:
+            if v and bits.get1():
+                v = -v
+            vals.append(v)
+        if bits.pos > end:
+            bits.pos = mark      # partial quad past the boundary: discard
+            break
+        is_[line:line + 4] = vals
+        line += 4
+    bits.pos = end
+    return is_, line
+
+
+# ------------------------------------------------------------- requantize
+
+# libavcodec's l3_unscale keeps requantized magnitudes in a 31-bit fixed
+# mantissa; values decoded through the escape path (|quantized| >= 15)
+# whose shift leaves that range come back as exactly 0.  Witnessed by
+# oracle probes (tests/test_mp3.py): with Q the integer quarter-step
+# exponent of the band, an escape value is zeroed iff
+#   frexp_exp(|v|^(4/3) * 2^((Q & 3) / 4) / IMDCT_SCALAR) + (Q >> 2)
+# falls outside [-28, 3].  IMDCT_SCALAR = 1.759 (the float decoder's
+# synthesis pre-scale).  Real encoders never emit such frames (the PCM
+# would clip > 10x); this exists so randomized differential tests match
+# the oracle bit-for-bit across the whole value range.
+_IMDCT_SCALAR = 1.759
+
+
+def _escape_clamp(band, av, q4):
+    """Zero escape-path values the oracle's fixed-point requantizer drops.
+
+    band: requantized xr slice (modified in place); av: |quantized| ints
+    for the slice; q4: the band's integer quarter-step exponent.
+    """
+    esc = av >= 15
+    if not esc.any():
+        return
+    f = av[esc] ** (4.0 / 3.0) * 2.0 ** ((q4 & 3) * 0.25) / _IMDCT_SCALAR
+    ef = np.frexp(f)[1] + (q4 >> 2)
+    drop = (ef > 3) | (ef < -28)
+    if drop.any():
+        idx = np.flatnonzero(esc)[drop]
+        band[idx] = 0.0
+
+
+def _requantize(g: _Granule, is_: np.ndarray, sr: int) -> np.ndarray:
+    xr = np.zeros(576, np.float64)
+    av = np.abs(is_).astype(np.float64)
+    mag = np.sign(is_) * av ** (4.0 / 3.0)
+    gain = 2.0 ** ((g.global_gain - 210) / 4.0)
+    mult = 1.0 if g.scalefac_scale else 0.5
+    short = g.window_switching and g.block_type == 2
+    band_l = T.SFB_LONG[sr]
+    band_s = T.SFB_SHORT[sr]
+    q0 = g.global_gain - 210
+    qmul = 4 if g.scalefac_scale else 2   # quarter steps per scalefac unit
+    if not short:
+        sf = g.scalefac_l[:21].astype(np.int64)
+        if g.preflag:
+            sf = sf + _PRETAB.astype(np.int64)
+        for sfb in range(21):
+            lo, hi = band_l[sfb], band_l[sfb + 1]
+            xr[lo:hi] = mag[lo:hi] * gain * 2.0 ** (-mult * sf[sfb])
+            _escape_clamp(xr[lo:hi], av[lo:hi], q0 - qmul * int(sf[sfb]))
+        xr[band_l[21]:] = mag[band_l[21]:] * gain  # last partial band: sf 0
+        _escape_clamp(xr[band_l[21]:], av[band_l[21]:], q0)
+    else:
+        if g.mixed_block:
+            sf = g.scalefac_l[:8].astype(np.int64)
+            if g.preflag:
+                sf = sf + _PRETAB[:8].astype(np.int64)
+            for sfb in range(8):
+                lo, hi = band_l[sfb], band_l[sfb + 1]
+                xr[lo:hi] = mag[lo:hi] * gain * 2.0 ** (-mult * sf[sfb])
+                _escape_clamp(xr[lo:hi], av[lo:hi],
+                              q0 - qmul * int(sf[sfb]))
+        xr = _requantize_short(g, mag, gain, mult, sr, xr, av)
+    return xr
+
+
+def _requantize_short(g, mag, gain, mult, sr, xr, av):
+    band_s = T.SFB_SHORT[sr]
+    band_l = T.SFB_LONG[sr]
+    long_lines = band_l[8] if g.mixed_block else 0
+    sfb0 = 3 if g.mixed_block else 0
+    sf = g.scalefac_s.astype(np.float64)
+    q0 = g.global_gain - 210
+    qmul = 4 if g.scalefac_scale else 2
+    pos = long_lines
+    for sfb in range(sfb0, 13):
+        n = band_s[min(sfb + 1, 13)] - band_s[sfb]
+        for w in range(3):
+            sfac = sf[sfb, w] if sfb < 12 else 0.0
+            scale = gain * 2.0 ** (-2.0 * g.subblock_gain[w]
+                                   - mult * sfac)
+            xr[pos:pos + n] = mag[pos:pos + n] * scale
+            _escape_clamp(xr[pos:pos + n], av[pos:pos + n],
+                          q0 - 8 * g.subblock_gain[w] - qmul * int(sfac))
+            pos += n
+    return xr
+
+
+# ------------------------------------------------------------- stereo
+
+def _stereo(xr_l, xr_r, g_r: _Granule, hdr: _Header, sr: int):
+    ms = hdr.mode == 1 and (hdr.mode_ext & 2)
+    intensity = hdr.mode == 1 and (hdr.mode_ext & 1)
+    if not intensity:
+        if ms:
+            s = np.sqrt(2.0)
+            l = (xr_l + xr_r) / s
+            r = (xr_l - xr_r) / s
+            return l, r
+        return xr_l, xr_r
+    return _intensity_stereo(xr_l, xr_r, g_r, hdr, sr, bool(ms))
+
+
+def _intensity_stereo(xr_l, xr_r, g_r, hdr, sr, ms):
+    """MPEG-1 intensity: bands wholly above the right channel's last
+    nonzero line carry position info in the RIGHT channel scalefactors."""
+    l = xr_l.copy()
+    r = xr_r.copy()
+    nz = np.nonzero(xr_r)[0]
+    rzero = (nz[-1] + 1) if nz.size else 0
+    s2 = np.sqrt(2.0)
+    short = g_r.window_switching and g_r.block_type == 2
+    if ms:
+        low = slice(0, 576)
+        l[low] = (xr_l[low] + xr_r[low]) / s2
+        r[low] = (xr_l[low] - xr_r[low]) / s2
+    band_l = T.SFB_LONG[sr]
+    band_s = T.SFB_SHORT[sr]
+
+    def apply(lo, hi, is_pos):
+        if is_pos == 7:
+            if not ms:
+                return             # illegal position: leave L/R
+            return                 # ms already applied above
+        ratio = np.tan(is_pos * np.pi / 12.0)
+        l[lo:hi] = xr_l[lo:hi] * (ratio / (1.0 + ratio))
+        r[lo:hi] = xr_l[lo:hi] * (1.0 / (1.0 + ratio))
+
+    if not short:
+        for sfb in range(21, -1, -1):
+            lo = band_l[sfb]
+            hi = band_l[min(sfb + 1, 22)]
+            if lo < rzero:
+                break
+            apply(lo, hi, int(g_r.scalefac_l[min(sfb, 20)]))
+    else:
+        long_lines = band_l[8] if g_r.mixed_block else 0
+        sfb0 = 3 if g_r.mixed_block else 0
+        pos = long_lines
+        spans = []
+        for sfb in range(sfb0, 13):
+            n = band_s[min(sfb + 1, 13)] - band_s[sfb]
+            for w in range(3):
+                spans.append((pos, pos + n, sfb, w))
+                pos += n
+        for lo, hi, sfb, w in reversed(spans):
+            if lo < rzero:
+                break
+            apply(lo, hi, int(g_r.scalefac_s[min(sfb, 11), w]))
+    return l, r
+
+
+# ------------------------------------------------------------- reorder
+
+def _reorder_short(g: _Granule, xr: np.ndarray, sr: int) -> np.ndarray:
+    if not (g.window_switching and g.block_type == 2):
+        return xr
+    band_s = T.SFB_SHORT[sr]
+    band_l = T.SFB_LONG[sr]
+    long_lines = band_l[8] if g.mixed_block else 0
+    out = xr.copy()
+    sfb0 = 3 if g.mixed_block else 0
+    pos = long_lines
+    for sfb in range(sfb0, 13):
+        n = band_s[min(sfb + 1, 13)] - band_s[sfb]
+        if pos + 3 * n > 576:
+            n = max(0, (576 - pos) // 3)
+        if n == 0:
+            break
+        block = xr[pos:pos + 3 * n].reshape(3, n)     # [window, line]
+        out[pos:pos + 3 * n] = block.T.reshape(-1)    # -> [line, window]
+        pos += 3 * n
+    return out
+
+
+# ------------------------------------------------------------- alias + imdct
+
+def _alias_reduce(g: _Granule, xr: np.ndarray) -> np.ndarray:
+    short = g.window_switching and g.block_type == 2
+    if short and not g.mixed_block:
+        return xr
+    n_b = 1 if short else 31
+    out = xr.copy()
+    for b in range(n_b):
+        base = 18 * (b + 1)
+        for j in range(8):
+            lo = base - 1 - j
+            hi = base + j
+            a, c = out[lo], out[hi]
+            out[lo] = a * _CS[j] - c * _CA[j]
+            out[hi] = c * _CS[j] + a * _CA[j]
+    return out
+
+
+def _imdct_granule(g: _Granule, xr: np.ndarray, overlap: np.ndarray):
+    """(18, 32) time-major subband samples; updates overlap in place."""
+    out = np.empty((18, 32))
+    short = g.window_switching and g.block_type == 2
+    for sb in range(32):
+        X = xr[18 * sb:18 * (sb + 1)]
+        bt = g.block_type
+        if short and (not g.mixed_block or sb >= 2):
+            z = np.zeros(36)
+            for w in range(3):
+                xw = (_I12 @ X[w::3]) * _WIN[2]
+                z[6 + 6 * w:6 + 6 * w + 12] += xw
+        else:
+            wt = 0 if (short and g.mixed_block and sb < 2) else bt
+            if short and g.mixed_block and sb < 2:
+                wt = 0
+            z = (_I36 @ X) * _WIN[wt if wt != 2 else 0]
+        out[:, sb] = z[:18] + overlap[:, sb]
+        overlap[:, sb] = z[18:]
+    # frequency inversion: odd subbands, odd time samples
+    out[1::2, 1::2] *= -1.0
+    return out
+
+
+# ------------------------------------------------------------- synthesis
+
+class _Synth:
+    def __init__(self):
+        self.v = np.zeros((16, 64))
+        # deferred so the pre-synthesis pipeline stays importable while
+        # scripts/extract_mp3_synth.py solves the window
+        self.d = _D.reshape(16, 32) if _D is not None else None
+
+    def run(self, sb: np.ndarray) -> np.ndarray:
+        """(T, 32) subband samples -> (T*32,) PCM."""
+        if self.d is None:
+            raise Mp3Error("synthesis window missing: data/_mp3_synth.py "
+                           "not generated (scripts/extract_mp3_synth.py)")
+        out = np.empty(sb.shape[0] * 32)
+        for t in range(sb.shape[0]):
+            self.v = np.roll(self.v, 1, axis=0)
+            self.v[0] = _N64 @ sb[t]
+            # U selection + D window + fold, expressed per ISO figure A.2
+            s = np.zeros(32)
+            for i in range(8):
+                v0 = self.v[2 * i]
+                v1 = self.v[2 * i + 1]
+                s += v0[:32] * self.d[2 * i]
+                s += v1[32:] * self.d[2 * i + 1]
+            out[t * 32:(t + 1) * 32] = s
+        return out
+
+
+# ------------------------------------------------------------- decoder
+
+class Mp3Decoder:
+    def __init__(self, nch: int):
+        self.nch = nch
+        self.overlap = [np.zeros((18, 32)) for _ in range(nch)]
+        self.synth = [_Synth() for _ in range(nch)]
+        self.reservoir = b""
+
+    def decode_frame(self, hdr: _Header, frame: bytes) -> np.ndarray:
+        nch = hdr.nch
+        off = 4 + (2 if hdr.crc else 0)
+        side_len = 17 if nch == 1 else 32
+        bits = _Bits(frame[off:off + side_len])
+        main_data_begin, scfsi, granules = _read_side_info(bits, nch)
+        main = frame[off + side_len:]
+        if main_data_begin > len(self.reservoir):
+            # not enough reservoir (stream start / cut): frame unusable
+            self.reservoir = (self.reservoir + main)[-511:]
+            return np.zeros((1152, nch))
+        data = (self.reservoir[len(self.reservoir) - main_data_begin:]
+                if main_data_begin else b"") + main
+        self.reservoir = (self.reservoir + main)[-511:]
+        bits = _Bits(data)
+        pcm = np.empty((1152, nch))
+        prev = [None] * nch
+        for gr in range(2):
+            xr_ch = []
+            for ch in range(nch):
+                g = granules[gr][ch]
+                part2 = _read_scalefactors(bits, g, gr, scfsi[ch], prev[ch])
+                prev[ch] = g
+                is_, _ = _read_huffman(bits, g, hdr.sr, g.part2_3_length,
+                                       part2)
+                xr_ch.append(_requantize(g, is_, hdr.sr))
+            if nch == 2:
+                xr_ch = list(_stereo(xr_ch[0], xr_ch[1], granules[gr][1],
+                                     hdr, hdr.sr))
+            for ch in range(nch):
+                g = granules[gr][ch]
+                xr = _reorder_short(g, xr_ch[ch], hdr.sr)
+                xr = _alias_reduce(g, xr)
+                sbs = _imdct_granule(g, xr, self.overlap[ch])
+                pcm[gr * 576:(gr + 1) * 576, ch] = self.synth[ch].run(sbs)
+        return pcm
+
+
+def decode_mp3_bytes(data: bytes):
+    """(pcm float32 (n, nch), sample_rate). Raw frame decode — includes
+    the codec's inherent leading delay samples, like a raw frame-level
+    reference decode (no gapless trimming)."""
+    off = 0
+    if data[:3] == b"ID3" and len(data) > 10:
+        size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+            | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+        off = 10 + size
+    # resync scan
+    dec = None
+    sr = 0
+    chunks = []
+    n = len(data)
+    while off + 4 <= n:
+        try:
+            hdr = _Header(data, off)
+        except Mp3Error as e:
+            if "MPEG-2" in str(e):
+                raise
+            off += 1
+            continue
+        if off + hdr.frame_bytes > n:
+            break
+        # require the next frame to sync too (guards against false sync),
+        # unless this is the last frame in the stream
+        nxt = off + hdr.frame_bytes
+        if nxt + 4 <= n and not _is_sync(data, nxt):
+            off += 1
+            continue
+        if dec is None:
+            dec = Mp3Decoder(hdr.nch)
+            sr = hdr.sr
+        chunks.append(dec.decode_frame(hdr, data[off:off + hdr.frame_bytes]))
+        off = nxt
+    if dec is None:
+        raise Mp3Error("no MPEG-1 Layer III frames found")
+    return np.concatenate(chunks, axis=0).astype(np.float32), sr
+
+
+def decode_mp3_file(path: str):
+    with open(path, "rb") as f:
+        return decode_mp3_bytes(f.read())
