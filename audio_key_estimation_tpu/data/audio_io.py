@@ -94,6 +94,25 @@ def _decode_wav_numpy(path: str):
     return np.ascontiguousarray(x[:, 0]), rate
 
 
+def _decode_mp3_native(path: str):
+    """C++ fast path (native/akx_mp3.cpp, ~40x the numpy decoder). Returns
+    None when the library is unavailable or the stream needs a fallback
+    (the numpy decoder re-derives the precise error)."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "akx_decode_mp3"):
+        return None
+    h = lib.akx_decode_mp3(path.encode())
+    try:
+        n = lib.akx_num_samples(h)
+        sr = lib.akx_sample_rate(h)
+        if n == 0 or sr == 0:
+            return None
+        buf = np.ctypeslib.as_array(lib.akx_samples(h), shape=(n,))
+        return buf.copy(), sr
+    finally:
+        lib.akx_free(h)
+
+
 def _transcode_to_wav(path: str) -> str:
     for tool, args in (("ffmpeg", ["-y", "-i", path, "-ac", "1"]),
                        ("mpg123", ["-w"])):
@@ -193,6 +212,9 @@ def decode_audio(path: str, raw: bool = False):
     """
     ext = os.path.splitext(path)[1].lower()
     if ext == ".mp3":
+        out = _decode_mp3_native(path)
+        if out is not None:
+            return out
         from .mp3 import Mp3Error, decode_mp3_file
         try:
             pcm, sr = decode_mp3_file(path)
@@ -238,18 +260,25 @@ def decode_many(paths, workers: int = 8, raw: bool = False):
     lib = load_library()
     results: dict = {}
     native_paths: dict = {}
+    has_mp3 = (lib is not None and hasattr(lib, "akx_decode_mp3"))
     pool = lib.akx_pool_create(workers) if lib is not None else None
+    native_exts = (".wav", ".mp3") if has_mp3 else (".wav",)
     py_jobs: dict = {}
+    # mp3 may bounce back from the native pool (LSF/damaged streams fall
+    # through to the numpy decoder / external transcode), so a Python pool
+    # is kept warm whenever mp3 is in the batch
     needs_py = [p for p in paths
-                if not pool or os.path.splitext(p)[1].lower() != ".wav"]
-    # no Python thread pool unless some file actually needs it — idle
+                if not pool
+                or os.path.splitext(p)[1].lower() not in native_exts
+                or os.path.splitext(p)[1].lower() == ".mp3"]
+    # no Python thread pool unless some file might need it — idle
     # threads compete with the C++ workers for cores on small hosts
     with futures.ThreadPoolExecutor(
             max_workers=max(1, min(workers, len(needs_py)))) \
             if needs_py else nullcontext() as tpool:
         try:
             for i, p in enumerate(paths):
-                if pool and os.path.splitext(p)[1].lower() == ".wav":
+                if pool and os.path.splitext(p)[1].lower() in native_exts:
                     lib.akx_pool_submit(pool, i, p.encode())
                     native_paths[i] = p
                 else:
@@ -271,6 +300,11 @@ def decode_many(paths, workers: int = 8, raw: bool = False):
                             buf = np.ctypeslib.as_array(
                                 lib.akx_result_samples(r), shape=(m,)).copy()
                             results[rid] = (buf, sr)
+                        elif native_paths[rid].lower().endswith(".mp3"):
+                            # LSF/damaged mp3: decode_audio re-derives the
+                            # error and runs the transcode fallback chain
+                            py_jobs[rid] = tpool.submit(
+                                decode_audio, native_paths[rid])
                         else:
                             msg = (lib.akx_result_error(r) or b"").decode()
                             results[rid] = AudioDecodeError(

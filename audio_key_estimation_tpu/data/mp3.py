@@ -296,7 +296,10 @@ def _read_huffman(bits: _Bits, g: _Granule, sr: int, part2_3: int,
             continue
         base = T.PAIR_TABLE.get(tab, tab)
         linbits = T.LINBITS.get(tab, 0)
-        x, y = _huff_read(bits, _BIG_TREES[base], _MAX_CODE[base])
+        try:
+            x, y = _huff_read(bits, _BIG_TREES[base], _MAX_CODE[base])
+        except Mp3Error:
+            break     # corrupt frame: remaining values stay zero
         if x == 15 and linbits:
             x += bits.get(linbits)
         if x and bits.get1():

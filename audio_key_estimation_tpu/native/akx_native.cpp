@@ -28,13 +28,19 @@
 #include <thread>
 #include <vector>
 
+#include "akx_decoded.h"
+
 namespace {
 
-struct Decoded {
-  std::vector<float> samples;  // channel 0
-  int sample_rate = 0;
-  std::string error;
-};
+using akx::Decoded;
+
+bool has_suffix_ci(const std::string& s, const char* suf) {
+  size_t n = strlen(suf);
+  if (s.size() < n) return false;
+  for (size_t i = 0; i < n; ++i)
+    if (tolower((unsigned char)s[s.size() - n + i]) != suf[i]) return false;
+  return true;
+}
 
 uint32_t rd_u32(const uint8_t* p) {
   return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
@@ -144,6 +150,12 @@ bool decode_wav_file(const char* path, Decoded* out) {
   return decode_wav_buffer(buf.data(), buf.size(), out);
 }
 
+// extension dispatch shared by the pool and the one-shot entry points
+bool decode_any_file(const char* path, Decoded* out) {
+  if (has_suffix_ci(path, ".mp3")) return akx::decode_mp3_file(path, out);
+  return decode_wav_file(path, out);
+}
+
 // ---------------------------------------------------------------------------
 // DecodePool: worker threads decode submitted paths; results are polled.
 // ---------------------------------------------------------------------------
@@ -202,7 +214,7 @@ class DecodePool {
       }
       Result r;
       r.id = job.id;
-      r.ok = decode_wav_file(job.path.c_str(), &r.decoded);
+      r.ok = decode_any_file(job.path.c_str(), &r.decoded);
       {
         std::lock_guard<std::mutex> lk(mu_);
         done_.push_back(std::move(r));
@@ -342,6 +354,15 @@ int64_t akx_ingest_batch(const char** paths, int64_t n_files, int16_t* batch,
 void* akx_decode_wav(const char* path) {
   auto* d = new Decoded();
   decode_wav_file(path, d);
+  return d;
+}
+
+// Decode channel 0 of an MPEG-1 Layer III file (akx_mp3.cpp). Same handle
+// protocol as akx_decode_wav; an error containing "MPEG-2" marks an LSF
+// stream the caller may transcode externally.
+void* akx_decode_mp3(const char* path) {
+  auto* d = new Decoded();
+  akx::decode_mp3_file(path, d);
   return d;
 }
 

@@ -23,6 +23,8 @@ _tried = False
 def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.akx_decode_wav.restype = ctypes.c_void_p
     lib.akx_decode_wav.argtypes = [ctypes.c_char_p]
+    lib.akx_decode_mp3.restype = ctypes.c_void_p
+    lib.akx_decode_mp3.argtypes = [ctypes.c_char_p]
     lib.akx_samples.restype = ctypes.POINTER(ctypes.c_float)
     lib.akx_samples.argtypes = [ctypes.c_void_p]
     lib.akx_num_samples.restype = ctypes.c_int64
@@ -74,10 +76,13 @@ def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
         # call in the per-file decode hot path
         return None
     _tried = True
-    src = os.path.join(_DIR, "akx_native.cpp")
+    srcs = [os.path.join(_DIR, f) for f in
+            ("akx_native.cpp", "akx_mp3.cpp", "akx_decoded.h",
+             "akx_mp3_tables.h")]
     stale = (not os.path.exists(_SO)
-             or (os.path.exists(src)
-                 and os.path.getmtime(src) > os.path.getmtime(_SO)))
+             or any(os.path.exists(s)
+                    and os.path.getmtime(s) > os.path.getmtime(_SO)
+                    for s in srcs))
     if stale and build_if_missing:
         try:
             subprocess.run(["make", "-C", _DIR, "-sB"], check=True,

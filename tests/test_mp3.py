@@ -334,6 +334,155 @@ def test_no_frames_raises():
         decode_mp3_bytes(bytes(1000))
 
 
+# ------------------------------------------------------ native fast path
+
+
+def _load_native():
+    from audio_key_estimation_tpu.native.binding import load_library
+    lib = load_library()
+    return lib if lib is not None and hasattr(lib, "akx_decode_mp3") else None
+
+
+def _native_decode(lib, data: bytes):
+    with tempfile.NamedTemporaryFile(suffix=".mp3", delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        h = lib.akx_decode_mp3(path.encode())
+        try:
+            n = lib.akx_num_samples(h)
+            sr = lib.akx_sample_rate(h)
+            err = (lib.akx_error(h) or b"").decode()
+            if n == 0 or sr == 0:
+                raise Mp3Error(err or "native decode failed")
+            buf = np.ctypeslib.as_array(lib.akx_samples(h), shape=(n,)).copy()
+            return buf, sr
+        finally:
+            lib.akx_free(h)
+    finally:
+        os.unlink(path)
+
+
+def _format_surface_streams():
+    """Representative streams across the format surface (seeded)."""
+    rng = np.random.default_rng(42)
+    out = {}
+    for trial in range(4):  # random fuzz incl. escape values
+        def rand_gr():
+            tbl = int(rng.choice(_ALL_TABLES))
+            mx = min(_table_max(tbl), 60)
+            nb = int(rng.integers(0, 60))
+            return B.Granule(
+                big_values=nb, big_pairs=_pairs(rng, nb, mx),
+                count1_quads=_quads(rng, int(rng.integers(0, 20))),
+                table_select=(tbl, tbl, tbl),
+                global_gain=int(rng.integers(140, 211)),
+                count1table_select=int(rng.integers(0, 2)))
+        out[f"fuzz{trial}"] = B.build_stream(
+            [B.build_frame([rand_gr(), rand_gr()]) for _ in range(4)])
+    s1, s2 = B.SLEN[10]
+    sfs = tuple(int(rng.integers(0, 1 << s1)) for _ in range(18)) + \
+        tuple(int(rng.integers(0, 1 << s2)) for _ in range(18))
+    sho = B.Granule(big_values=40, big_pairs=_pairs(rng, 40, 7),
+                    window_switching=True, block_type=2,
+                    table_select=(10, 10, 10), scalefac_compress=10,
+                    scalefacs=sfs, subblock_gain=(1, 0, 2), global_gain=195)
+    sfm = tuple(int(rng.integers(0, 1 << s1)) for _ in range(17)) + \
+        tuple(int(rng.integers(0, 1 << s2)) for _ in range(18))
+    mix = B.Granule(big_values=40, big_pairs=_pairs(rng, 40, 7),
+                    window_switching=True, block_type=2, mixed_block=True,
+                    table_select=(10, 10, 10), scalefac_compress=10,
+                    scalefacs=sfm, subblock_gain=(0, 1, 0), global_gain=195)
+    out["short+mixed"] = B.build_stream(
+        [B.build_frame([sho, sho]), B.build_frame([mix, mix])])
+    gl = B.Granule(big_values=30, big_pairs=_pairs(rng, 30, 7),
+                   table_select=(10, 10, 10), global_gain=185)
+    gi = B.Granule(big_values=10, big_pairs=_pairs(rng, 10, 7),
+                   table_select=(10, 10, 10), global_gain=185)
+    for name, mode, ext, gr in (("stereo", "stereo", 0, gl),
+                                ("ms", "joint", 2, gl),
+                                ("intensity", "joint", 1, gi),
+                                ("ms+int", "joint", 3, gi)):
+        out[name] = B.build_stream(
+            [B.build_frame([[gl, gr], [gl, gr]], mode=mode,
+                           mode_ext=ext)] * 2)
+    mk = lambda: B.Granule(  # noqa: E731
+        big_values=60, big_pairs=_pairs(rng, 60, 7),
+        table_select=(10, 10, 10), scalefac_compress=13,
+        scalefacs=_sf_long(rng, 13), global_gain=195, preflag=1,
+        scalefac_scale=1)
+    out["scfsi"] = B.build_stream(
+        [B.build_frame([mk(), mk()], scfsi=(0b1010,))] * 2)
+    for sr in (32000, 48000):
+        g = B.Granule(big_values=100, big_pairs=_pairs(rng, 100, 7),
+                      table_select=(10, 10, 10), scalefac_compress=13,
+                      scalefacs=_sf_long(rng, 13), global_gain=200)
+        out[f"sr{sr}"] = B.build_stream(
+            [B.build_frame([g, g], sr=sr, bitrate=320)] * 2)
+    # bit reservoir
+    g2 = B.Granule(big_values=30, big_pairs=_pairs(rng, 30, 7),
+                   table_select=(13, 13, 13), global_gain=185)
+    sfb, _ = B._scalefac_bits(g2, B.SLEN)
+    hb = B._encode_values(g2, 44100)
+    bits = B.Bits()
+    bits.put_str((sfb + hb) * 2)
+    res = bits.tobytes()
+    f1 = bytearray(B.build_frame([gl, gl]))
+    f1[len(f1) - len(res):] = res
+    f2 = bytearray(B.build_frame([g2, g2], main_data_begin=len(res)))
+    f2[4 + 17:] = bytes(len(f2) - 4 - 17)
+    out["reservoir"] = B.build_stream(
+        [bytes(f1), bytes(f2), B.build_frame([gl, gl])])
+    return out
+
+
+def test_native_bitexact_vs_python():
+    """The C++ fast path (native/akx_mp3.cpp) must match data/mp3.py
+    EXACTLY (both compute in double, same operation order) on streams
+    spanning the whole format surface."""
+    lib = _load_native()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    for name, data in _format_surface_streams().items():
+        py_pcm, py_sr = decode_mp3_bytes(data)
+        nat, nat_sr = _native_decode(lib, data)
+        assert nat_sr == py_sr, name
+        np.testing.assert_array_equal(
+            nat, py_pcm[:, 0].astype(np.float32), err_msg=name)
+
+
+def test_native_lsf_reports_mpeg2():
+    lib = _load_native()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    hdr = bytes([0xFF, 0xF2, 0x90, 0x00]) + bytes(400)
+    with pytest.raises(Mp3Error, match="MPEG-2"):
+        _native_decode(lib, hdr * 3)
+
+
+def test_decode_many_mixed_wav_mp3(tmp_path):
+    """The C++ DecodePool dispatches wav AND mp3 by extension."""
+    import struct
+
+    from audio_key_estimation_tpu.data.audio_io import decode_many
+    rng = np.random.default_rng(13)
+    g = B.Granule(big_values=30, big_pairs=_pairs(rng, 30, 7),
+                  table_select=(10, 10, 10), global_gain=190)
+    mp3_path = tmp_path / "a.mp3"
+    mp3_path.write_bytes(B.build_stream([B.build_frame([g, g])] * 3))
+    pcm = (np.sin(np.linspace(0, 80, 2000)) * 20000).astype("<i2")
+    wav_path = tmp_path / "b.wav"
+    wav_path.write_bytes(
+        b"RIFF" + struct.pack("<I", 36 + pcm.nbytes) + b"WAVEfmt " +
+        struct.pack("<IHHIIHH", 16, 1, 1, 44100, 88200, 2, 16) +
+        b"data" + struct.pack("<I", pcm.nbytes) + pcm.tobytes())
+    outs = list(decode_many([str(mp3_path), str(wav_path), str(mp3_path)]))
+    assert len(outs) == 3
+    assert outs[0][1] == 44100 and outs[0][0].shape == (3 * 1152,)
+    assert outs[1][0].shape == (2000,)
+    np.testing.assert_array_equal(outs[0][0], outs[2][0])
+
+
 # --------------------------------------------------------- integration
 
 
