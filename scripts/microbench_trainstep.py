@@ -38,9 +38,10 @@ def log(*a):
 
 
 def main():
-    cfg = Config()
+    cfg = Config(dtype=os.environ.get("AKX_DTYPE", "float32"))
     dev = jax.devices()[0]
-    log(f"train-step throughput on {dev.device_kind} ({dev.platform})")
+    log(f"train-step throughput on {dev.device_kind} ({dev.platform}), "
+        f"compute dtype {cfg.dtype}")
     rng = np.random.default_rng(0)
     sizes = tuple(int(x) for x in
                   os.environ.get("AKX_BS", "8,32,64").split(","))

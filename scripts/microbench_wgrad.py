@@ -84,6 +84,50 @@ def wgrad_vjp(act, dy):
     return dw
 
 
+def wgrad_grouped3(act3, dy3):
+    """The train step's three identical-shape pitch-conv wgrads as ONE
+    grouped conv (feature_group_count=3): output co = 24 lanes instead of
+    three co=8 ops — tests whether the wall is output-lane packing."""
+    def fwd(w):
+        return lax.conv_general_dilated(
+            act3, w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=3)
+    w0 = jnp.zeros((K, K, CI, 3 * CO), act3.dtype)
+    _, vjp = jax.vjp(fwd, w0)
+    (dw,) = vjp(dy3)
+    return dw
+
+
+def wgrad_wide(act, dy24):
+    """Same contraction with co=24 in one UNGROUPED conv (3x the FLOPs of
+    one true wgrad): isolates pure lane-packing scaling."""
+    def fwd(w):
+        return lax.conv_general_dilated(
+            act, w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    w0 = jnp.zeros((K, K, CI, 3 * CO), act.dtype)
+    _, vjp = jax.vjp(fwd, w0)
+    (dw,) = vjp(dy24)
+    return dw
+
+
+def wgrad_cross24(act24, dy24):
+    """act ci=24 x dy co=24 ungrouped: ONE conv computing all 9 cross
+    blocks (9x FLOPs); the train step needs only the 3 diagonal blocks.
+    If its wall stays near the single wgrad's, the three pitch-conv wgrads
+    fuse into this one op + a free diagonal slice."""
+    def fwd(w):
+        return lax.conv_general_dilated(
+            act24, w, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    w0 = jnp.zeros((K, K, 3 * CI, 3 * CO), act24.dtype)
+    _, vjp = jax.vjp(fwd, w0)
+    (dw,) = vjp(dy24)
+    return dw[:, :, :CI, :CO] + dw[:, :, CI:2 * CI, CO:2 * CO] \
+        + dw[:, :, 2 * CI:, 2 * CO:]
+
+
 def main():
     dev = jax.devices()[0]
     log(f"wgrad microbench on {dev.device_kind}; shape act=(128,294,607,8) "
@@ -94,17 +138,28 @@ def main():
     dy32 = jnp.asarray(rng.standard_normal(
         (N, P, T, CO)).astype(np.float32))
 
+    act3_32 = jnp.concatenate([act32, act32 * 0.5, act32 * 0.25], axis=3)
+    dy3_32 = jnp.concatenate([dy32, dy32 * 0.5, dy32 * 0.25], axis=3)
+
     for tag, dt, peak in (("f32", jnp.float32, F32_PEAK),
                           ("bf16", jnp.bfloat16, BF16_PEAK)):
         act = act32.astype(dt)
         dy = dy32.astype(dt)
-        for name, fn in (("vjp-of-fwd-conv", wgrad_vjp),):
+        act3 = act3_32.astype(dt)
+        dy3 = dy3_32.astype(dt)
+        cases = (("vjp-of-fwd-conv", wgrad_vjp, (act, dy), 1.0),
+                 ("grouped-x3", wgrad_grouped3, (act3, dy3), 3.0),
+                 ("wide-co24", wgrad_wide, (act, dy3), 3.0),
+                 ("cross-24x24", wgrad_cross24, (act3, dy3), 9.0))
+        for name, fn, args, nf in cases:
+            fl = FLOPS * nf
             try:
                 f = scan8(fn)
-                dt_s, comp = timeit(f, act, dy)
-                log(f"  {tag:4s} {name:18s} {dt_s*1e3:7.2f} ms  "
-                    f"MFU(f32-peak) {FLOPS/dt_s/F32_PEAK*100:5.1f}%  "
-                    f"of-{tag}-peak {FLOPS/dt_s/peak*100:5.1f}%  "
+                dt_s, comp = timeit(f, *args)
+                log(f"  {tag:4s} {name:18s} {dt_s*1e3:7.2f} ms "
+                    f"({fl/1e9:5.0f} GF = {nf:.0f}x wgrad)  "
+                    f"MFU(f32-peak) {fl/dt_s/F32_PEAK*100:5.1f}%  "
+                    f"of-{tag}-peak {fl/dt_s/peak*100:5.1f}%  "
                     f"(compile {comp:.0f}s)")
             except Exception as e:
                 log(f"  {tag} {name} FAILED: {e!r}")
