@@ -15,6 +15,7 @@ run far below it.
 
 Run serially on TPU:  AKX_B=512 python scripts/profile_cqt_pallas.py
 """
+import functools
 import math
 import os
 import sys
@@ -54,24 +55,29 @@ def log(*a):
 
 
 def timeit(fn, *args):
-    """fn jitted with an inner scan of REPS; returns (s/reps, compile_s)."""
+    """Dispatch-loop timing like bench.py::time_fn — REPS separate
+    dispatches queued then fetched. A lax.scan of an input-invariant body
+    is NOT usable here: XLA's loop-invariant code motion hoists the
+    pallas_call/fusion out of the loop and the scan runs it ONCE, so the
+    early r4 numbers measured with the scan trick were REPS x too low
+    (PERFNOTES 'scan-hoisting artifact'). Dispatch overhead through the
+    relay measures 0.02 ms — negligible against >1 ms stages."""
     t0 = time.perf_counter()
     float(fn(*args))
     comp = time.perf_counter() - t0
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        float(fn(*args))
+        outs = [fn(*args) for _ in range(REPS)]
+        for o in outs:
+            float(o)
         best = min(best, time.perf_counter() - t0)
     return best / REPS, comp
 
 
 def scan_reps(body):
     def run(*args):
-        def step(c, _):
-            out = body(*args, jnp.float32(c))
-            return c + out, None
-        return lax.scan(step, jnp.float32(0.0), None, length=REPS)[0]
+        return body(*args, jnp.float32(0.0))
     return jax.jit(run)
 
 
@@ -87,9 +93,11 @@ def main():
         f"clip={CLIP_SECONDS}s (L={L}), n_fft={n_fft}, hop={p.hop}, "
         f"T={n_frames}, stream_dtype={sd.name}, REPS={REPS}")
 
-    rng = np.random.default_rng(0)
-    y16 = jnp.asarray(
-        (rng.standard_normal((B, L)) * 8000).astype(np.int16))
+    # generated ON DEVICE: a host->device copy of (B, L) int16 through the
+    # relay tunnel (~22 MB/s) would take minutes (PERFNOTES "relay H2D wall")
+    y16 = jax.jit(lambda: (jax.random.normal(
+        jax.random.PRNGKey(0), (B, L)) * 8000).astype(jnp.int16))()
+    y16.block_until_ready()
 
     # ---- stage budgets (exact bytes from the plan) ----
     win = n_fft + cp._ALIGN_TM
@@ -139,20 +147,29 @@ def main():
         f"(~{(in_bytes*2 + casc_bytes)/ms/1e9:6.0f} GB/s implied; "
         f"compile {comp:.0f}s)")
 
-    # ---- stage 3: response kernels, per octave on premade streams ----
-    streams = [jnp.transpose(y16).astype(jnp.float32) / 32768.0]
-    cur = streams[0]
-    for o in range(1, p.octaves):
-        cur = cp.downsample2_tm(cur, taps)
-        if sd != jnp.float32:
-            cur = cur.astype(sd)
-        streams.append(cur)
-    streams[0] = jnp.transpose(y16)   # int16 top octave, like cqt_pallas
+    # ---- stage 3: response kernels, octave streams built incrementally ----
+    # natural dtype chain (int16 top octave -> stream_dtype below), one
+    # stream live at a time: three simultaneous (L, B) buffers (y16 +
+    # curT + ypadT) would exceed the 16 GB HBM at B=512
+    curT = jax.jit(jnp.transpose)(y16)      # (L, B) int16, like cqt_pallas
+    curT.block_until_ready()
+    del y16
+
+    # jitted (intermediates fused, not materialized — the eager path's
+    # f32 window concat alone is ~11 GB at B=512) with the input donated
+    @functools.partial(jax.jit, static_argnums=1, donate_argnums=0)
+    def ds_step(c, scale):
+        out = cp.downsample2_tm(c, taps, out_scale=scale)
+        return out.astype(sd) if sd != jnp.float32 else out
+
     kmat_t = jnp.asarray(np.ascontiguousarray(
         np.concatenate([bank["k_cos"], bank["k_sin"]], axis=1).T))
     total_resp = 0.0
     for o in range(p.octaves):
-        curT = streams[o]
+        if o > 0:
+            nxt = ds_step(curT, (1 / 32768.0) if o == 1 else 1.0)
+            nxt.block_until_ready()
+            curT = nxt
         item = jnp.dtype(curT.dtype).itemsize
         starts = cp._frame_starts(p.hop, o, n_frames)
         tile_t, b_chunk = cp._response_plan(n_fft, B, item)
@@ -175,6 +192,7 @@ def main():
 
         ms, comp = timeit(scan_reps(resp), ypadT, starts_dev, lane0,
                           kmat_t, scales)
+        del ypadT
         o_bytes = t_pad * win * B * item + t_pad * p.bins_per_octave * B * 4
         flops = 2 * B * t_pad * n_fft * 2 * p.bins_per_octave
         total_resp += ms
@@ -183,8 +201,12 @@ def main():
             f"DMA {o_bytes/1e9:5.2f} GB -> {o_bytes/ms/1e9:6.0f} GB/s  "
             f"MXU {flops/ms/49.2e12*100:5.1f}% (compile {comp:.0f}s)")
     log(f"stage response total:    {total_resp*1e3:8.1f} ms")
+    del curT
 
     # ---- whole front-end ----
+    y16 = jax.jit(lambda: (jax.random.normal(
+        jax.random.PRNGKey(0), (B, L)) * 8000).astype(jnp.int16))()
+    y16.block_until_ready()
     def full(y, c):
         out = cp.cqt_pallas(y * (1 + c.astype(jnp.int16) * 0), p,
                             stream_dtype=sd)
