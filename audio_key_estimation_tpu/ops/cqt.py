@@ -162,7 +162,8 @@ def _poly_matrix(taps=None, block: int = _POLY_BLOCK) -> np.ndarray:
 
 
 def downsample2(y: jax.Array, taps: jax.Array, *,
-                out_scale: float = 1.0) -> jax.Array:
+                out_scale: float = 1.0,
+                out_dtype: jnp.dtype | None = None) -> jax.Array:
     """Halve the sample rate: half-band FIR + decimate, (B, L) -> (B, ceil(L/2)).
 
     Identical output (up to f32 summation order) to the direct strided
@@ -189,14 +190,36 @@ def downsample2(y: jax.Array, taps: jax.Array, *,
     nb = -(-L // block)
     out_len = (L - 1) // 2 + 1
     yp = jnp.pad(y, ((0, 0), (pad, nb * block + block + pad - L)))
-    a = yp[:, : nb * block].reshape(b, nb, block)
-    tail = yp[:, block: block + nb * block].reshape(b, nb, block)[..., : 2 * pad]
-    window = jnp.concatenate([a, tail], axis=-1)       # (b, nb, block+2*pad)
-    if integer_in:
-        window = window.astype(jnp.float32)
-    out = jnp.einsum("bnw,wm->bnm", window, w.astype(window.dtype),
-                     preferred_element_type=jnp.float32)
-    return out.reshape(b, nb * out_block)[:, :out_len].astype(window.dtype)
+    # split contraction: block n's polyphase window is [block n | first
+    # 2*pad of block n+1], so contract the two K-slices as separate
+    # einsums over RESHAPE VIEWS of yp and add. The naive concat form
+    # materializes the whole staged (b, nb, block+2*pad) window tensor in
+    # HBM (~6.4 GB at the 512-clip bench octave 1); the split keeps both
+    # operands as fused reads (honest cascade wall 123 -> 77 ms at B=512,
+    # PERFNOTES round-7)
+    a = yp[:, : (nb + 1) * block].reshape(b, nb + 1, block)
+    if out_dtype is None:
+        # default: float32 for integer input, else the input dtype; an
+        # explicit out_dtype lets the caller store the stream at the conv
+        # width directly (no full-rate f32 intermediate in HBM)
+        out_dtype = jnp.float32 if integer_in else y.dtype
+    cdt = jnp.float32 if (integer_in or y.dtype == jnp.float32) else y.dtype
+    # chunk the block axis so the f32 dot intermediates stay bounded (the
+    # unchunked dot's (b, nb, m) f32 output is ~5 GB at bench geometry)
+    seg = max(1, min(nb, (256 << 20) // (out_block * b * 4)))
+    outs = []
+    for s0 in range(0, nb, seg):
+        s1 = min(s0 + seg, nb)
+        o = jnp.einsum("bnw,wm->bnm", a[:, s0:s1].astype(cdt),
+                       w[:block].astype(cdt),
+                       preferred_element_type=jnp.float32)
+        o = o + jnp.einsum("bnw,wm->bnm",
+                           a[:, s0 + 1: s1 + 1, : 2 * pad].astype(cdt),
+                           w[block:].astype(cdt),
+                           preferred_element_type=jnp.float32)
+        outs.append(o.astype(out_dtype))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
+    return out.reshape(b, nb * out_block)[:, :out_len]
 
 
 def stream_plan(hop: int, octave: int, n_fft: int, n_frames: int):
@@ -340,9 +363,13 @@ def cqt(y: jax.Array, p: CQTParams, *, log1p: bool = True,
     cur = y if in_scale != 1.0 else y.astype(jnp.float32)
     for o in range(p.octaves):
         if o > 0:
-            # after the first downsample `cur` is normalized float32
+            # after the first downsample `cur` is normalized float, stored
+            # at conv_dtype (bf16 halves every later octave's cascade and
+            # frame-staging HBM traffic; the quantization point matches
+            # cqt_pallas's stream_dtype semantics)
             cur = downsample2(cur, taps,
-                              out_scale=in_scale if o == 1 else 1.0)
+                              out_scale=in_scale if o == 1 else 1.0,
+                              out_dtype=conv_dtype)
         oct_scale = in_scale if o == 0 else 1.0
         plan = stream_plan(p.hop, o, n_fft, n_frames)
         if plan is not None:

@@ -53,6 +53,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -98,7 +99,8 @@ def _response_plan(n_fft: int, b_pad: int, itemsize: int):
     return 1, min(_VMEM_CHUNK_BUDGET // per_lane // 128 * 128, b_pad)
 
 
-def downsample2_tm(y: jax.Array, taps, *, out_scale: float = 1.0):
+def downsample2_tm(y: jax.Array, taps, *, out_scale: float = 1.0,
+                   out_dtype: jnp.dtype | None = None):
     """Time-major halfband decimate: (L, B) -> (ceil(L/2), B).
 
     Same polyphase block matmul as ops.cqt.downsample2 with the block axis
@@ -126,18 +128,30 @@ def downsample2_tm(y: jax.Array, taps, *, out_scale: float = 1.0):
     nb = -(-L // block)
     out_len = (L - 1) // 2 + 1
     yp = jnp.pad(y, ((pad, nb * block + block + pad - L), (0, 0)))
-    a = yp[: nb * block].reshape(nb, block, b)
-    tail = yp[block: block + nb * block].reshape(nb, block, b)[:, : 2 * pad]
-    window = jnp.concatenate([a, tail], axis=1)    # (nb, block+2*pad, b)
-    out_dtype = jnp.float32 if integer_in else window.dtype
-    if window.dtype != jnp.float32:
-        # f32 matmul operands: XLA:TPU fuses the convert into the matmul
-        # read (traffic stays at the stored width); XLA:CPU's DotThunk
-        # cannot execute bf16 x bf16 contractions at all
-        window = window.astype(jnp.float32)
-    out = jnp.einsum("nwb,wm->nmb", window, w,
-                     preferred_element_type=jnp.float32)
-    return out.reshape(nb * out_block, b)[:out_len].astype(out_dtype)
+    # split contraction over reshape views — block n's window is
+    # [block n | first 2*pad of block n+1] — instead of materializing the
+    # staged (nb, block+2*pad, b) concat in HBM (see ops.cqt.downsample2).
+    # f32 matmul operands: XLA:TPU fuses the convert into the matmul
+    # read (traffic stays at the stored width); XLA:CPU's DotThunk
+    # cannot execute bf16 x bf16 contractions at all
+    a = yp[: (nb + 1) * block].reshape(nb + 1, block, b)
+    if out_dtype is None:
+        out_dtype = jnp.float32 if integer_in else y.dtype
+    # chunk the block axis so the f32 dot intermediates stay bounded:
+    # unchunked at the 512-clip bench geometry the first dot's (nb, m, b)
+    # f32 output alone is 5 GB and the program OOMs HBM
+    seg = max(1, min(nb, (256 << 20) // (out_block * b * 4)))
+    outs = []
+    for s0 in range(0, nb, seg):
+        s1 = min(s0 + seg, nb)
+        o = jnp.einsum("nwb,wm->nmb", a[s0:s1].astype(jnp.float32),
+                       w[:block], preferred_element_type=jnp.float32)
+        o = o + jnp.einsum("nwb,wm->nmb",
+                           a[s0 + 1: s1 + 1, : 2 * pad].astype(jnp.float32),
+                           w[block:], preferred_element_type=jnp.float32)
+        outs.append(o.astype(out_dtype))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return out.reshape(nb * out_block, b)[:out_len]
 
 
 @functools.partial(
@@ -246,18 +260,157 @@ def _frame_starts(hop: int, octave: int, n_frames: int) -> list[int]:
     return [math.floor(t * hop / 2 ** octave + 0.5) for t in range(n_frames)]
 
 
-def _pad_signal_for_starts(curT, starts, n_fft):
+def _pad_signal_for_starts(curT, starts, n_fft, *, min_len=0, round_to=None):
     """Reflect-pad like librosa's centered frames, then zero-extend so the
     LAST frame's ALIGNED window (start rounded down to the sublane tile
     boundary, _ALIGN_TM wider) is in range. Length rounds up to a
-    multiple of _ALIGN_TM."""
+    multiple of _ALIGN_TM (or `round_to`); `min_len` extends the zero
+    tail (the fused cascade kernel reads a fixed-size halo per tile)."""
     half = n_fft // 2
-    need = starts[-1] + n_fft + _ALIGN_TM
-    need = -(-need // _ALIGN_TM) * _ALIGN_TM
+    need = max(starts[-1] + n_fft + _ALIGN_TM, min_len)
+    r = round_to or _ALIGN_TM
+    need = -(-need // r) * r
     ypad = jnp.pad(curT, ((half, half + 1), (0, 0)), mode="reflect")
     if ypad.shape[0] < need:
         ypad = jnp.pad(ypad, ((0, need - ypad.shape[0]), (0, 0)))
     return ypad
+
+
+# ---------------------------------------------------------------------------
+# fused halfband cascade: previous padded stream -> next PADDED stream.
+#
+# The XLA cascade path (downsample2_tm + _pad_signal_for_starts per octave)
+# pays four full passes over every stream: the polyphase window staging /
+# operand materialization around the einsum, the (n, m, b) -> (n*m, b)
+# relayout of the dot output, and the reflect-pad copy of the result. The
+# honest wall at the 512-clip bench geometry is ~123 ms for the cascade
+# plus pad copies (PERFNOTES round-7). This kernel fuses all of it: each
+# grid step DMAs one input tile (+ filter halo), decimates it on the MXU
+# with the polyphase block matmul IN VMEM, interleaves the block outputs
+# in registers, and writes the next octave's padded buffer directly —
+# per octave the stream is read once and written once.
+# ---------------------------------------------------------------------------
+
+_CASC_TILE = 512          # max output rows per grid step (multiple of 128)
+_CASC_VMEM = 12 << 20     # working-set budget before falling back to XLA
+
+
+def _casc_tile(head: int) -> int:
+    """Output rows per grid step for this geometry, or 0 = cannot run.
+
+    The clip on the kernel's input offset must only ever fire on grid
+    steps whose every output row is masked (sr < 0 leading-pad tiles),
+    which requires head % tile == 0; head = n_fft//2 is a power of two,
+    so min(512, head) divides it whenever head >= 128. 128 also keeps the
+    out BlockSpec a whole number of 8-sublane f32 tiles and, with
+    head % 16 == 0, the per-step input offsets sublane-aligned."""
+    tile = min(_CASC_TILE, head)
+    return tile if tile >= 128 and head % tile == 0 else 0
+
+
+def _casc_in_rows(tile: int) -> int:
+    # 2*tile input rows + 2*24 filter halo + _ALIGN_TM alignment slack
+    return 2 * tile + 48 + _ALIGN_TM
+
+
+def _cascade_fits(n_fft: int, b_pad: int, itemsize: int) -> bool:
+    tile = _casc_tile(n_fft // 2)
+    if tile == 0:
+        return False
+    in_rows = _casc_in_rows(tile)
+    # scratch (in dtype) + f32 loaded value + out tile double-buffered
+    work = in_rows * (itemsize + 4) + tile * 4 * 2
+    return b_pad * work <= _CASC_VMEM
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("L_in", "L_out", "head", "need_out", "tile",
+                     "out_dtype", "interpret"))
+def _cascade_pad_tm(ypad_in, w, *, L_in: int, L_out: int, head: int,
+                    need_out: int, tile: int = _CASC_TILE,
+                    out_dtype=jnp.float32, interpret: bool = False):
+    """(Lpad_in, B) padded stream -> (need_out, B) next padded stream.
+
+    Interior rows [head, head + L_out) hold the halfband-decimated
+    stream (same samples as downsample2_tm: zero-extension outside the
+    input interior, f32 contraction); everything else is zero — the
+    caller patches the reflect rows (_reflect_fix). `w` is the (304, 128)
+    f32 polyphase matrix with any output scale folded in.
+    """
+    from .cqt import _POLY_BLOCK
+
+    block = _POLY_BLOCK
+    Lpad_in, B = ypad_in.shape
+    in_rows = _casc_in_rows(tile)
+    # every grid step's input offset is head + 2*(i*tile - head) - 24
+    # minus a STATIC remainder to the sublane tile boundary: offsets step
+    # by 2*tile (a multiple of 256) and head % 16 == 0, so one remainder
+    # serves every step. head % tile == 0 (see _casc_tile) guarantees the
+    # low clip only fires on fully-masked leading-pad tiles.
+    rem = (head - 24) % _ALIGN_TM
+    in_dtype = ypad_in.dtype
+    n_blocks = tile // (block // 2)
+    kw = block + 48   # polyphase window rows per block (2*pad halo)
+
+    def kernel(ypad_ref, w_ref, out_ref, scratch, sem):
+        i = pl.program_id(0)
+        s0 = i * tile - head               # first output stream row
+        off = head + 2 * s0 - 24 - rem
+        off = jnp.clip(off, 0, Lpad_in - in_rows)
+        cp_in = pltpu.make_async_copy(
+            ypad_ref.at[pl.ds(pl.multiple_of(off, _ALIGN_TM), in_rows)],
+            scratch, sem)
+        cp_in.start()
+        cp_in.wait()
+        # zero the halo outside the true stream interior: matches
+        # downsample2_tm's zero-extension AND neutralizes clamped reads
+        rows = off + jax.lax.broadcasted_iota(jnp.int32, (in_rows, 1), 0)
+        ok = (rows >= head) & (rows < head + L_in)
+        fw = jnp.where(ok, scratch[...].astype(jnp.float32), 0.0)
+        parts = []
+        for j in range(n_blocks):
+            win = fw[rem + block * j: rem + block * j + kw]   # (kw, B)
+            parts.append(jax.lax.dot_general(
+                w_ref[...], win, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))          # (block//2, B)
+        val = jnp.concatenate(parts, axis=0)                  # (tile, B)
+        sr = s0 + jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+        keep = (sr >= 0) & (sr < L_out)
+        out_ref[...] = jnp.where(keep, val, 0.0).astype(out_dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(need_out // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((tile, B), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((need_out, B), out_dtype),
+        scratch_shapes=[pltpu.VMEM((in_rows, B), in_dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * need_out * kw * B,
+            bytes_accessed=(need_out * 2 * B * in_dtype.itemsize
+                            + need_out * B * jnp.dtype(out_dtype).itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(ypad_in, w)
+
+
+def _reflect_fix(buf, L_out: int, head: int):
+    """Patch the reflect rows of a cascade-produced padded buffer in place
+    (in-place per XLA's dynamic-update-slice elision: `buf` has no other
+    use). Matches jnp.pad(stream, (head, head+1), mode='reflect'):
+    row head-1-k = stream[k+1], row head+L_out+k = stream[L_out-2-k]."""
+    half = head
+    head_rows = lax.rev(
+        lax.dynamic_slice_in_dim(buf, half + 1, half, 0), (0,))
+    buf = lax.dynamic_update_slice_in_dim(buf, head_rows, 0, 0)
+    tail_rows = lax.rev(
+        lax.dynamic_slice_in_dim(buf, half + L_out - half - 2,
+                                 half + 1, 0), (0,))
+    return lax.dynamic_update_slice_in_dim(buf, tail_rows, half + L_out, 0)
 
 
 def cqt_pallas(y: jax.Array, p: CQTParams, *,
@@ -309,18 +462,51 @@ def cqt_pallas(y: jax.Array, p: CQTParams, *,
         curT = curT.astype(jnp.float32)
     if b_pad != b:
         curT = jnp.pad(curT, ((0, 0), (0, b_pad - b)))
+    head = n_fft // 2
+    casc_tile = _casc_tile(head)
+    in_rows = _casc_in_rows(casc_tile or _CASC_TILE)
+    lens = [y.shape[1]]
+    for o in range(1, p.octaves):
+        lens.append((lens[o - 1] - 1) // 2 + 1)
+    # fused pad+decimate+relayout cascade kernel (one read + one write per
+    # octave); falls back to the XLA cascade when the geometry's head is
+    # not tile-aligned, a stream is too short for the reflect rows, or
+    # the lane width overflows the kernel's VMEM working set
+    use_casc = (_cascade_fits(n_fft, b_pad, jnp.dtype(curT.dtype).itemsize)
+                and _cascade_fits(n_fft, b_pad,
+                                  jnp.dtype(stream_dtype).itemsize)
+                and all(ln >= head + 2 for ln in lens))
+    from .cqt import _poly_matrix
+    ypadT = None
     for o in range(p.octaves):
-        if o > 0:
-            curT = downsample2_tm(curT, taps,
-                                  out_scale=in_scale if o == 1 else 1.0)
-            if stream_dtype != jnp.float32:
-                curT = curT.astype(stream_dtype)
         starts = _frame_starts(p.hop, o, n_frames)
         tile_t, b_chunk = _response_plan(
-            n_fft, b_pad, jnp.dtype(curT.dtype).itemsize)
+            n_fft, b_pad,
+            jnp.dtype(curT.dtype if o == 0 else stream_dtype).itemsize)
         t_pad = -(-n_frames // tile_t) * tile_t
         starts = starts + [starts[-1]] * (t_pad - n_frames)
-        ypadT = _pad_signal_for_starts(curT, starts, n_fft)
+        if not use_casc:
+            if o > 0:
+                curT = downsample2_tm(curT, taps,
+                                      out_scale=in_scale if o == 1 else 1.0,
+                                      out_dtype=stream_dtype)
+            ypadT = _pad_signal_for_starts(curT, starts, n_fft)
+        elif o == 0:
+            ypadT = _pad_signal_for_starts(
+                curT, starts, n_fft,
+                min_len=head + lens[0] + in_rows, round_to=casc_tile)
+        else:
+            w = _poly_matrix(np.asarray(taps)) \
+                * (in_scale if o == 1 else 1.0)
+            need = max(starts[-1] + n_fft + _ALIGN_TM,
+                       head + lens[o] + in_rows)
+            need = -(-need // casc_tile) * casc_tile
+            ypadT = _cascade_pad_tm(
+                ypadT, jnp.asarray(w, jnp.float32),
+                L_in=lens[o - 1], L_out=lens[o], head=head,
+                need_out=need, tile=casc_tile, out_dtype=stream_dtype,
+                interpret=interpret)
+            ypadT = _reflect_fix(ypadT, lens[o], head)
         oct_scale = in_scale if o == 0 else 1.0
         scales = jnp.asarray(
             bank["scales"] * (oct_scale * 2.0 ** (o / 2)),

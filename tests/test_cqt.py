@@ -251,8 +251,10 @@ def test_cqt_under_jit_matches_eager(rng):
 
 def test_cqt_bf16_conv_operands_close_to_f32(rng):
     """The product default (Config.cqt_conv_dtype=bfloat16: conv operand
-    storage halves front-end HBM traffic) stays within ~0.2% relative of
-    the oracle-pinned f32 path on both int16 and float inputs."""
+    AND inter-octave stream storage at bf16 — same quantization point as
+    cqt_pallas's stream_dtype — halves front-end HBM traffic) stays within
+    bf16 quantization (~2% of peak, the bound test_pallas_bf16_streams
+    uses) of the oracle-pinned f32 path on both int16 and float inputs."""
     sr = 8000
     x16 = (rng.uniform(-0.6, 0.6, sr * 2) * 32767).astype(np.int16)
     for x in (x16, x16.astype(np.float32) / 32768.0):
@@ -260,7 +262,7 @@ def test_cqt_bf16_conv_operands_close_to_f32(rng):
         a = np.asarray(cqt(jnp.asarray(x[None]), p))
         b = np.asarray(cqt(jnp.asarray(x[None]), p,
                            conv_dtype=jnp.bfloat16))
-        assert np.abs(a - b).max() <= 2e-3 * np.abs(a).max()
+        assert np.abs(a - b).max() <= 0.02 * np.abs(a).max()
 
 
 def test_cqt_rejects_non_int16_integers(rng):

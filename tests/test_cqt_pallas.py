@@ -172,6 +172,69 @@ def test_pallas_remainder_chunk(rng, monkeypatch):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_cascade_kernel_matches_downsample2_tm(rng):
+    """Direct parity of the fused pad+decimate+relayout cascade kernel
+    (_cascade_pad_tm + _reflect_fix) against the XLA path it replaces
+    (downsample2_tm + _pad_signal_for_starts), at both tile geometries —
+    head=256 -> tile 256 (the SR-22050 bench n_fft=512) with an ODD input
+    length, and head=512 -> tile 512 (SR-44100's n_fft=1024) — including
+    the zero tail beyond the reflect rows."""
+    from audio_key_estimation_tpu.ops.cqt import _poly_matrix, halfband_taps
+    from audio_key_estimation_tpu.ops.cqt_pallas import (
+        _cascade_pad_tm, _casc_in_rows, _casc_tile, _pad_signal_for_starts,
+        _reflect_fix, downsample2_tm)
+
+    taps = halfband_taps()
+    for n_fft, L in ((512, 5137), (1024, 6000)):
+        head = n_fft // 2
+        tile = _casc_tile(head)
+        assert tile == min(512, head) and head % tile == 0
+        y = (rng.standard_normal((L, 128)) * 8000).astype(np.int16)
+        ref = np.asarray(downsample2_tm(jnp.asarray(y), taps,
+                                        out_scale=1 / 32768.0))
+        L_out = (L - 1) // 2 + 1
+        in_rows = _casc_in_rows(tile)
+        ypad_in = np.asarray(_pad_signal_for_starts(
+            jnp.asarray(y), [0, L - 1], n_fft,
+            min_len=head + L + in_rows, round_to=tile))
+        w = _poly_matrix(np.asarray(taps)) * (1 / 32768.0)
+        need = max(900 + n_fft + 16, head + L_out + in_rows)
+        need = -(-need // tile) * tile
+        out = _cascade_pad_tm(
+            jnp.asarray(ypad_in), jnp.asarray(w, jnp.float32),
+            L_in=L, L_out=L_out, head=head, need_out=need, tile=tile,
+            out_dtype=jnp.float32, interpret=True)
+        out = np.asarray(_reflect_fix(out, L_out, head))
+        np.testing.assert_allclose(out[head:head + L_out], ref,
+                                   rtol=1e-5, atol=1e-6)
+        ref_pad = np.asarray(_pad_signal_for_starts(
+            jnp.asarray(ref), [0, need - n_fft - 16], n_fft))
+        np.testing.assert_allclose(out[:head + L_out + head + 1],
+                                   ref_pad[:head + L_out + head + 1],
+                                   rtol=1e-5, atol=1e-6)
+        assert np.all(out[head + L_out + head + 1:] == 0)
+
+
+def test_cascade_engages_at_flagship_geometry(rng, monkeypatch):
+    """cqt_pallas at the flagship geometry must actually RUN the fused
+    cascade for every downsampled octave — guarding the silent-fallback
+    failure mode where a gate regression would route through the XLA
+    cascade and the parity tests would still pass — and match the XLA
+    reference."""
+    from audio_key_estimation_tpu.ops import cqt_pallas as mod
+
+    calls = []
+    orig = mod._cascade_pad_tm
+    monkeypatch.setattr(
+        mod, "_cascade_pad_tm",
+        lambda *a, **k: calls.append(k.get("tile")) or orig(*a, **k))
+    y = rng.normal(size=(2, int(2.13 * SR))).astype(np.float32)
+    ref = np.asarray(cqt(jnp.asarray(y), P))
+    got = np.asarray(mod.cqt_pallas(jnp.asarray(y), P, interpret=True))
+    assert calls == [256] * (P.octaves - 1)   # n_fft=512 -> tile 256
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_use_pallas_cqt_tristate_validation():
     """'auto' resolves by platform, bad strings fail loudly, bare CLI flag
     keeps its historical switch meaning."""
