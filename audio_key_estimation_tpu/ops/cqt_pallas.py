@@ -92,7 +92,10 @@ def _response_plan(n_fft: int, b_pad: int, itemsize: int):
     where 256+128 would do, each re-reading kmat and re-running the
     full t_pad grid)."""
     win = n_fft + _ALIGN_TM
-    per_lane = win * itemsize + n_fft * 4
+    # 2 x window scratch: the kernel double-buffers the window DMAs
+    # across grid steps (next step's chain issues before this step's
+    # compute), so two steps' frames are live at once
+    per_lane = 2 * win * itemsize + n_fft * 4
     if b_pad * per_lane <= _VMEM_BUDGET:
         tile_t = max(1, min(_TILE_T, _VMEM_BUDGET // (b_pad * per_lane)))
         return tile_t, b_pad
@@ -185,27 +188,46 @@ def _octave_response_frames(ypadT, starts, lane0, kmat_t, scales, *,
     def kernel(st_ref, lane_ref, ypad_ref, kmat_ref, scales_ref, out_ref,
                frames, sems):
         ti = pl.program_id(0)
+        nsteps = pl.num_programs(0)
         lane = pl.multiple_of(lane_ref[0], 128)
-        copies = []
-        rems = []
-        for j in range(tile_t):
-            off = st_ref[ti * tile_t + j]
+
+        # double-buffered window DMAs: step ti's chain was issued at step
+        # ti-1 (step 0 issues its own), so the DMA engine fills slot
+        # (ti+1)%2 while the MXU consumes slot ti%2 — without this the
+        # chain's issue+completion latency serializes with compute and the
+        # response stage runs ~9x above its bandwidth floor (PERFNOTES
+        # round-7). Rebuilding the copy descriptor at wait time is the
+        # standard pattern: wait only decrements the slot's semaphore.
+        def make_copy(step, slot, j):
+            off = st_ref[step * tile_t + j]
             off_al = pl.multiple_of(off // _ALIGN_TM * _ALIGN_TM, _ALIGN_TM)
-            rems.append(off - off_al)
             src = (ypad_ref.at[pl.ds(off_al, win)] if full
                    else ypad_ref.at[pl.ds(off_al, win), pl.ds(lane, Bc)])
-            copies.append(pltpu.make_async_copy(src, frames.at[j],
-                                                sems.at[j]))
-        for c in copies:
-            c.start()
-        for c in copies:
+            return off - off_al, pltpu.make_async_copy(
+                src, frames.at[slot, j], sems.at[slot, j])
+
+        @pl.when(ti == 0)
+        def _issue_first():
+            for j in range(tile_t):
+                make_copy(0, 0, j)[1].start()
+
+        @pl.when(ti + 1 < nsteps)
+        def _issue_next():
+            for j in range(tile_t):
+                make_copy(ti + 1, (ti + 1) % 2, j)[1].start()
+
+        slot = ti % 2
+        rems = []
+        for j in range(tile_t):
+            rem, c = make_copy(ti, slot, j)
             c.wait()
+            rems.append(rem)
         cols = []
         for j in range(tile_t):
             # rows (time) are the sublane dim: rotate sublanes left by rem
             # == right by win - rem (roll needs a non-negative shift);
             # rem < _ALIGN_TM so [:n_fft] never wraps
-            buf = frames[j].astype(jnp.float32)
+            buf = frames[slot, j].astype(jnp.float32)
             cols.append(pltpu.roll(buf, win - rems[j], 0)[:n_fft])
         fr = jnp.concatenate(cols, axis=1)          # (n_fft, tile_t*Bc)
         r = jnp.dot(kmat_ref[:], fr, preferred_element_type=jnp.float32)
@@ -230,10 +252,11 @@ def _octave_response_frames(ypadT, starts, lane0, kmat_t, scales, *,
             # the starts/lane0 refs ride LAST and are unused for the index
             lambda t, s, l: (t, 0, 0)),
         scratch_shapes=[
-            # leading (untiled) dim is the frame index so each DMA's
-            # destination frames.at[j] never slices a tiled dim
-            pltpu.VMEM((tile_t, win, Bc), in_dtype),
-            pltpu.SemaphoreType.DMA((tile_t,)),
+            # leading (untiled) dims are (buffer slot, frame index) so
+            # each DMA's destination frames.at[slot, j] never slices a
+            # tiled dim; 2 slots double-buffer across grid steps
+            pltpu.VMEM((2, tile_t, win, Bc), in_dtype),
+            pltpu.SemaphoreType.DMA((2, tile_t)),
         ],
     )
 
@@ -250,6 +273,120 @@ def _octave_response_frames(ypadT, starts, lane0, kmat_t, scales, *,
         ),
         interpret=interpret,
     )(starts, lane0, ypadT, kmat_t, scales)
+
+
+_SPAN_K = (32, 16, 8, 4)      # frames per span DMA, largest fitting wins
+_SPAN_TRAFFIC = 1.25          # max span bytes / window-mode bytes ratio
+
+
+def _span_plan(n_fft: int, b_pad: int, itemsize: int, spacing: float):
+    """(K, span_len) for the span-mode response kernel, or None.
+
+    Deep octaves' frame windows overlap (spacing = hop/2**o < n_fft), so
+    tile_t per-window DMAs re-read the stream up to win/spacing times AND
+    pay the ~5 us per-DMA issue cost 4800 times per batch (PERFNOTES
+    round-7b: the response stage is DMA-COUNT-bound, not bandwidth-bound).
+    Span mode issues ONE DMA covering K consecutive frames; frames are
+    carved out in VMEM by a static slice + <=31-row dynamic roll. Only
+    engaged when the span's bytes stay within _SPAN_TRAFFIC of window
+    mode's (shallow octaves keep the window kernel) and the working set
+    fits VMEM at full lane width."""
+    win = n_fft + _ALIGN_TM
+    wlen = n_fft + 48
+    for K in _SPAN_K:
+        span_len = int(math.floor((K - 1) * spacing)) // 16 * 16 + wlen
+        if span_len > _SPAN_TRAFFIC * K * win:
+            continue
+        cost = (2 * span_len * itemsize        # double-buffered span
+                + wlen * 4                     # rolled f32 frame
+                + 2 * 24 * K * 4)              # out block (auto dbl-buf)
+        if b_pad * cost <= _VMEM_BUDGET:
+            return K, span_len
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fft", "t_pad", "K", "span_len", "s16", "interpret"))
+def _octave_response_span(ypadT, starts, kmat_t, scales, *, n_fft: int,
+                          t_pad: int, K: int, span_len: int,
+                          s16: tuple, interpret: bool = False):
+    """(Lpad, B) time-major padded octave signal -> (t_pad, bpo, B) fused
+    log1p-magnitude responses; ONE contiguous DMA per K frames.
+
+    `starts` must be the CONTINUED frame progression (floor(t*h+0.5) for
+    all t < t_pad, not last-entry-repeated) so every intra-tile delta
+    stays within the static offset table `s16` (s16[k] = floor16(k*h)):
+    the frame's row inside the span buffer is s16[k] + r_k with
+    r_k = starts[tK+k] - floor16(starts[tK]) - s16[k] in [0, 32). The
+    caller must pad the signal to floor16(starts[t_pad-K]) + span_len."""
+    Lpad, B = ypadT.shape
+    bpo = kmat_t.shape[0] // 2
+    in_dtype = ypadT.dtype
+    wlen = n_fft + 48
+
+    def kernel(st_ref, ypad_ref, kmat_ref, scales_ref, out_ref,
+               span, sems):
+        ti = pl.program_id(0)
+        nsteps = pl.num_programs(0)
+
+        def make_copy(step, slot):
+            base_al = pl.multiple_of(
+                st_ref[step * K] // _ALIGN_TM * _ALIGN_TM, _ALIGN_TM)
+            return pltpu.make_async_copy(
+                ypad_ref.at[pl.ds(base_al, span_len)],
+                span.at[slot], sems.at[slot])
+
+        @pl.when(ti == 0)
+        def _issue_first():
+            make_copy(0, 0).start()
+
+        @pl.when(ti + 1 < nsteps)
+        def _issue_next():
+            make_copy(ti + 1, (ti + 1) % 2).start()
+
+        slot = ti % 2
+        make_copy(ti, slot).wait()
+        base_al = st_ref[ti * K] // _ALIGN_TM * _ALIGN_TM
+        for k in range(K):
+            r = st_ref[ti * K + k] - base_al - s16[k]
+            wbuf = span[slot, s16[k]: s16[k] + wlen].astype(jnp.float32)
+            fr = pltpu.roll(wbuf, wlen - r, 0)[:n_fft]
+            rk = jnp.dot(kmat_ref[:], fr,
+                         preferred_element_type=jnp.float32)
+            cc = rk[:bpo]
+            ss = rk[bpo:]
+            out_ref[k] = jnp.log1p(jnp.sqrt(cc * cc + ss * ss)
+                                   * scales_ref[:])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_pad // K,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),       # ypadT stays in HBM
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # kmat_t
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # scales (bpo, 1)
+        ],
+        out_specs=pl.BlockSpec((K, bpo, B), lambda t, s: (t, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, span_len, B), in_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_pad, bpo, B), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * t_pad * n_fft * 2 * bpo,
+            bytes_accessed=((t_pad // K) * span_len * B
+                            * in_dtype.itemsize
+                            + kmat_t.size * 4 + t_pad * bpo * B * 4),
+            transcendentals=2 * t_pad * bpo * B,
+        ),
+        interpret=interpret,
+    )(starts, ypadT, kmat_t, scales)
 
 
 def _frame_starts(hop: int, octave: int, n_frames: int) -> list[int]:
@@ -479,27 +616,41 @@ def cqt_pallas(y: jax.Array, p: CQTParams, *,
     from .cqt import _poly_matrix
     ypadT = None
     for o in range(p.octaves):
-        starts = _frame_starts(p.hop, o, n_frames)
-        tile_t, b_chunk = _response_plan(
-            n_fft, b_pad,
-            jnp.dtype(curT.dtype if o == 0 else stream_dtype).itemsize)
-        t_pad = -(-n_frames // tile_t) * tile_t
-        starts = starts + [starts[-1]] * (t_pad - n_frames)
+        spacing = p.hop / 2 ** o
+        item = jnp.dtype(curT.dtype if o == 0 else stream_dtype).itemsize
+        tile_t, b_chunk = _response_plan(n_fft, b_pad, item)
+        span = (_span_plan(n_fft, b_pad, item, spacing)
+                if b_chunk == b_pad else None)
+        if span is not None:
+            K, span_len = span
+            t_pad = -(-n_frames // K) * K
+            # CONTINUED progression (not last-entry-repeated): span mode's
+            # static intra-tile offset table requires monotone deltas
+            starts = _frame_starts(p.hop, o, t_pad)
+            span_need = starts[t_pad - K] // _ALIGN_TM * _ALIGN_TM \
+                + span_len
+        else:
+            t_pad = -(-n_frames // tile_t) * tile_t
+            starts = _frame_starts(p.hop, o, n_frames)
+            starts = starts + [starts[-1]] * (t_pad - n_frames)
+            span_need = 0
         if not use_casc:
             if o > 0:
                 curT = downsample2_tm(curT, taps,
                                       out_scale=in_scale if o == 1 else 1.0,
                                       out_dtype=stream_dtype)
-            ypadT = _pad_signal_for_starts(curT, starts, n_fft)
+            ypadT = _pad_signal_for_starts(curT, starts, n_fft,
+                                           min_len=span_need)
         elif o == 0:
             ypadT = _pad_signal_for_starts(
                 curT, starts, n_fft,
-                min_len=head + lens[0] + in_rows, round_to=casc_tile)
+                min_len=max(head + lens[0] + in_rows, span_need),
+                round_to=casc_tile)
         else:
             w = _poly_matrix(np.asarray(taps)) \
                 * (in_scale if o == 1 else 1.0)
             need = max(starts[-1] + n_fft + _ALIGN_TM,
-                       head + lens[o] + in_rows)
+                       head + lens[o] + in_rows, span_need)
             need = -(-need // casc_tile) * casc_tile
             ypadT = _cascade_pad_tm(
                 ypadT, jnp.asarray(w, jnp.float32),

@@ -137,9 +137,10 @@ def test_pallas_lane_chunked_large_nfft(rng, monkeypatch):
 
     y = rng.normal(size=(130, SR)).astype(np.float32)  # b_pad = 256
     ref = np.asarray(cqt(jnp.asarray(y), P))
-    # force chunking: one 256-lane frame (win*4 + n_fft*4 per lane) must
+    # force chunking: one 256-lane frame (2*win*4 double-buffered + n_fft*4
+    # per lane) must
     # overflow _VMEM_BUDGET while a 128-lane chunk fits the chunk budget
-    per_lane = (mod.kernel_bank(P)["n_fft"] + mod._ALIGN_TM) * 4 \
+    per_lane = 2 * (mod.kernel_bank(P)["n_fft"] + mod._ALIGN_TM) * 4 \
         + mod.kernel_bank(P)["n_fft"] * 4
     monkeypatch.setattr(mod, "_VMEM_BUDGET", 255 * per_lane)
     monkeypatch.setattr(mod, "_VMEM_CHUNK_BUDGET", 129 * per_lane)
@@ -162,7 +163,7 @@ def test_pallas_remainder_chunk(rng, monkeypatch):
 
     y = rng.normal(size=(300, SR)).astype(np.float32)  # b_pad = 384
     ref = np.asarray(cqt(jnp.asarray(y), P))
-    per_lane = (mod.kernel_bank(P)["n_fft"] + mod._ALIGN_TM) * 4 \
+    per_lane = 2 * (mod.kernel_bank(P)["n_fft"] + mod._ALIGN_TM) * 4 \
         + mod.kernel_bank(P)["n_fft"] * 4
     monkeypatch.setattr(mod, "_VMEM_BUDGET", 383 * per_lane)
     monkeypatch.setattr(mod, "_VMEM_CHUNK_BUDGET", 257 * per_lane)
