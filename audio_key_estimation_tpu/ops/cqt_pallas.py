@@ -177,6 +177,11 @@ def _octave_response_frames(ypadT, starts, lane0, kmat_t, scales, *,
     a runtime scalar every chunk shares this one compiled kernel. Full
     width keeps the contiguous whole-row DMA.
     """
+    if t_pad % tile_t:
+        # the grid floor-divides; a non-dividing t_pad would silently
+        # leave the last t_pad % tile_t frames UNWRITTEN (round-4 bug:
+        # the span-plan branch handed this kernel a multiple-of-K t_pad)
+        raise ValueError(f"t_pad={t_pad} not a multiple of tile_t={tile_t}")
     Lpad, B = ypadT.shape
     Bc = b_chunk or B
     bpo = kmat_t.shape[0] // 2
@@ -629,6 +634,12 @@ def cqt_pallas(y: jax.Array, p: CQTParams, *,
             starts = _frame_starts(p.hop, o, t_pad)
             span_need = starts[t_pad - K] // _ALIGN_TM * _ALIGN_TM \
                 + span_len
+            # static frame offsets inside the span buffer: frame k of a
+            # tile sits at s16[k] + r_k with r_k = starts[tK+k]
+            # - floor16(starts[tK]) - s16[k] in [0, 32) for every tile
+            # (the progression's deltas differ from k*spacing by < 1)
+            s16 = tuple(int(k * spacing) // _ALIGN_TM * _ALIGN_TM
+                        for k in range(K))
         else:
             t_pad = -(-n_frames // tile_t) * tile_t
             starts = _frame_starts(p.hop, o, n_frames)
@@ -663,19 +674,26 @@ def cqt_pallas(y: jax.Array, p: CQTParams, *,
             bank["scales"] * (oct_scale * 2.0 ** (o / 2)),
             jnp.float32)[:, None]
         starts_dev = jnp.asarray(starts, jnp.int32)
-        chunks = []
-        for c0 in range(0, b_pad, b_chunk):
-            # the kernel lane-slices ypadT in place in HBM via the lane0
-            # scalar — no per-chunk signal copy; at most two compiled
-            # shapes (full chunks + one remainder)
-            bc = min(b_chunk, b_pad - c0)
-            chunks.append(_octave_response_frames(
-                ypadT, starts_dev, jnp.asarray([c0], jnp.int32),
-                kmat_t, scales, n_fft=n_fft, t_pad=t_pad, tile_t=tile_t,
-                b_chunk=(bc if bc < b_pad else 0),
-                interpret=interpret))
-        resp = chunks[0] if len(chunks) == 1 \
-            else jnp.concatenate(chunks, axis=2)
+        if span is not None:
+            # deep-octave overlapping windows: ONE DMA per K frames
+            resp = _octave_response_span(
+                ypadT, starts_dev, kmat_t, scales, n_fft=n_fft,
+                t_pad=t_pad, K=K, span_len=span_len, s16=s16,
+                interpret=interpret)
+        else:
+            chunks = []
+            for c0 in range(0, b_pad, b_chunk):
+                # the kernel lane-slices ypadT in place in HBM via the
+                # lane0 scalar — no per-chunk signal copy; at most two
+                # compiled shapes (full chunks + one remainder)
+                bc = min(b_chunk, b_pad - c0)
+                chunks.append(_octave_response_frames(
+                    ypadT, starts_dev, jnp.asarray([c0], jnp.int32),
+                    kmat_t, scales, n_fft=n_fft, t_pad=t_pad,
+                    tile_t=tile_t, b_chunk=(bc if bc < b_pad else 0),
+                    interpret=interpret))
+            resp = chunks[0] if len(chunks) == 1 \
+                else jnp.concatenate(chunks, axis=2)
         octs.append(resp[:n_frames])
     out = jnp.concatenate(list(reversed(octs)), axis=1)   # (T, n_bins, B)
     return jnp.transpose(out, (2, 1, 0))[:b]

@@ -313,7 +313,17 @@ def main():
 
     dev = jax.devices()[0]
     report["device"] = f"{dev.device_kind} ({dev.platform})"
-    log(f"benchmarking on {report['device']}")
+    # cache diagnostics (VERDICT r4 item 2): entry count at start tells a
+    # cold capture from a warm one; per-cell compile_s then pinpoints any
+    # cell that missed (cached hits re-load in < ~5 s, cold fused-cascade
+    # compiles run minutes through the remote-compile relay)
+    cache_dir = os.environ["JAX_COMPILATION_CACHE_DIR"]
+    report["cache"] = {
+        "dir": cache_dir,
+        "entries_at_start": (len(os.listdir(cache_dir))
+                             if os.path.isdir(cache_dir) else 0)}
+    log(f"benchmarking on {report['device']}; compile cache "
+        f"{report['cache']['entries_at_start']} entries at {cache_dir}")
 
     # one monolithic int16 batch at the LARGEST sweep size, assembled ON
     # DEVICE (untimed): decoded audio + deterministic gain/noise variations

@@ -209,7 +209,12 @@ def run_phase(phase: str, pilot: bool):
                  # (weights/optimizer stay f32) — the convergence-parity leg
                  # of the train-throughput experiment; artifact gets a
                  # _BF16 suffix so it never overwrites the f32 record
-                 dtype=os.environ.get("AKX_DTYPE", "float32"))
+                 dtype=os.environ.get("AKX_DTYPE", "float32"),
+                 # AKX_LOC_WINDOW varies the local head's window context
+                 # (VERDICT r4 item 5: second hypothesis for the 0.8678 vs
+                 # 0.915-oracle gap — reference default 10 s,
+                 # models.py:721-722); artifact gets a _W<sec> suffix
+                 loc_window_size=int(os.environ.get("AKX_LOC_WINDOW", 10)))
 
     t0 = time.time()
     if is_local:
@@ -285,6 +290,8 @@ def run_phase(phase: str, pilot: bool):
     ]
     out = os.path.join(REPO, f"CONVERGE_{phase.upper()}"
                        + ("_BF16" if cfg.dtype == "bfloat16" else "")
+                       + (f"_W{cfg.loc_window_size}"
+                          if cfg.local and cfg.loc_window_size != 10 else "")
                        + ("_PILOT" if pilot else "") + ".md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")
