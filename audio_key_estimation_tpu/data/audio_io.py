@@ -4,10 +4,12 @@ Replaces the reference's torchaudio.load C++ boundary (KeyDataset.py:341).
 Returns (samples_float32_channel0, sample_rate) — the reference consumes
 channel 0 only (KeyDataset.py:481).
 
-MP3 decodes in-tree (data/mp3.py, MPEG-1 Layer III — covers the scraped
-corpora, which are 44.1 kHz MPEG-1): no external binary needed. LSF files
-(MPEG-2/2.5) fall back to an `ffmpeg`/`mpg123` transcode when one exists
-on PATH, otherwise a clear error points at pre-converting the corpus.
+MP3 decodes in-tree (data/mp3.py): MPEG-1 Layer III on the native C++
+fast path (native/akx_mp3.cpp — covers the scraped corpora, which are
+44.1 kHz MPEG-1) and MPEG-2/2.5 (LSF) in the numpy decoder; no external
+binary needed for any conforming Layer III file. Damaged streams fall
+back to an `ffmpeg`/`mpg123` transcode when one exists on PATH,
+otherwise a clear error points at pre-converting the corpus.
 """
 
 from __future__ import annotations
@@ -220,7 +222,7 @@ def decode_audio(path: str, raw: bool = False):
             pcm, sr = decode_mp3_file(path)
             return np.ascontiguousarray(pcm[:, 0]), sr
         except Mp3Error:
-            # MPEG-2/2.5 (LSF) or damaged stream: external transcode fallback
+            # damaged/non-conforming stream: external transcode fallback
             tmp = _transcode_to_wav(path)
             try:
                 return decode_audio(tmp, raw=raw)

@@ -11,13 +11,17 @@ tests over the full format surface in tests/test_mp3.py.
 
 Scope: MPEG-1 Layer III (32/44.1/48 kHz), mono and stereo, long / start /
 short / stop and mixed blocks, MS stereo, intensity stereo, scfsi, the
-bit reservoir, preflag/scalefac_scale/subblock_gain, all Huffman tables.
-MPEG-2/2.5 (LSF) raises Mp3Error — the scraped corpora are 44.1 kHz
-MPEG-1; LSF files must be transcoded (data/audio_io.py's ffmpeg gate).
+bit reservoir, preflag/scalefac_scale/subblock_gain, all Huffman tables;
+plus the MPEG-2 / MPEG-2.5 lower-sampling-frequency profile (LSF:
+8-24 kHz, 576-sample single-granule frames, 9-bit scalefac_compress
+partitions, io-based intensity stereo, the 8 kHz 4-subband mixed-block
+geometry) — the reference's torchaudio decodes LSF natively
+(KeyDataset.py:341), so the in-tree replacement does too.
 
-Bitstream constants come from data/_mp3_tables.py (reconstructed
-behaviorally from a reference decoder — see scripts/extract_mp3_tables.py
-for the protocol and provenance).
+Bitstream constants come from data/_mp3_tables.py and the LSF band
+tables from data/_mp3_bands_lsf.py (both reconstructed behaviorally from
+a reference decoder — see scripts/extract_mp3_tables.py and
+scripts/extract_mp3_lsf_bands.py for the protocol and provenance).
 """
 
 from __future__ import annotations
@@ -25,10 +29,21 @@ from __future__ import annotations
 import numpy as np
 
 from . import _mp3_tables as T
+from . import _mp3_tables_lsf as TL
 
 
 class Mp3Error(RuntimeError):
     pass
+
+
+def _bands(sr: int):
+    """(band_long, band_short) boundary tables for any supported rate."""
+    if sr in T.SFB_LONG:
+        return T.SFB_LONG[sr], T.SFB_SHORT[sr]
+    if TL.SFB_LONG_LSF is None:
+        raise Mp3Error("LSF band tables missing: data/_mp3_bands_lsf.py "
+                       "not generated (scripts/extract_mp3_lsf_bands.py)")
+    return TL.SFB_LONG_LSF[sr], TL.SFB_SHORT_LSF[sr]
 
 
 SR_TABLE = (44100, 48000, 32000)
@@ -127,7 +142,7 @@ class _Bits:
 
 class _Header:
     __slots__ = ("sr", "bitrate", "padding", "mode", "mode_ext", "crc",
-                 "frame_bytes", "nch")
+                 "frame_bytes", "nch", "lsf", "samples")
 
     def __init__(self, b: bytes, off: int):
         h = (b[off] << 24) | (b[off + 1] << 16) | (b[off + 2] << 8) \
@@ -138,23 +153,28 @@ class _Header:
         layer = (h >> 17) & 3
         if layer != 1:
             raise Mp3Error(f"not Layer III (layer bits {layer})")
-        if version != 3:
-            raise Mp3Error(
-                "MPEG-2/2.5 (LSF) stream: only MPEG-1 Layer III is "
-                "supported natively; transcode this file")
+        if version == 1:
+            raise Mp3Error("reserved MPEG version bits")
+        self.lsf = version != 3          # MPEG-2 (2) / MPEG-2.5 (0)
         self.crc = ((h >> 16) & 1) == 0
         bi = (h >> 12) & 0xF
         si = (h >> 10) & 3
         if bi == 0 or bi == 15 or si == 3:
             raise Mp3Error("free-format or bad bitrate/samplerate index")
-        self.bitrate = BITRATE_TABLE[bi]
-        self.sr = SR_TABLE[si]
+        if self.lsf:
+            self.bitrate = TL.BITRATE_TABLE_LSF[bi]
+            self.sr = TL.lsf_sr(version, si)
+            self.samples = 576
+        else:
+            self.bitrate = BITRATE_TABLE[bi]
+            self.sr = SR_TABLE[si]
+            self.samples = 1152
         self.padding = (h >> 9) & 1
         self.mode = (h >> 6) & 3
         self.mode_ext = (h >> 4) & 3
         self.nch = 1 if self.mode == 3 else 2
-        self.frame_bytes = 144 * self.bitrate * 1000 // self.sr \
-            + self.padding
+        self.frame_bytes = (self.samples // 8) * self.bitrate * 1000 \
+            // self.sr + self.padding
 
 
 def _is_sync(b: bytes, off: int) -> bool:
@@ -173,22 +193,31 @@ class _Granule:
                  "mixed_block", "table_select", "subblock_gain",
                  "region0_count", "region1_count", "preflag",
                  "scalefac_scale", "count1table_select", "scalefac_l",
-                 "scalefac_s")
+                 "scalefac_s", "lsf", "slen_l", "slen_s")
 
 
-def _read_side_info(bits: _Bits, nch: int):
-    main_data_begin = bits.get(9)
-    bits.get(5 if nch == 1 else 3)
-    scfsi = [[bits.get1() for _ in range(4)] for _ in range(nch)]
+def _read_side_info(bits: _Bits, nch: int, lsf: bool = False):
+    """MPEG-1: 9-bit main_data_begin, scfsi, TWO granules, 4-bit
+    scalefac_compress, explicit preflag. LSF (ISO 13818-3 2.4.1.7): 8-bit
+    main_data_begin, no scfsi, ONE granule, 9-bit scalefac_compress, no
+    preflag bit (implied by the scalefac_compress range)."""
+    main_data_begin = bits.get(8 if lsf else 9)
+    if lsf:
+        bits.get(1 if nch == 1 else 2)
+        scfsi = [[0] * 4 for _ in range(nch)]
+    else:
+        bits.get(5 if nch == 1 else 3)
+        scfsi = [[bits.get1() for _ in range(4)] for _ in range(nch)]
     granules = []
-    for _gr in range(2):
+    for _gr in range(1 if lsf else 2):
         chs = []
         for _ch in range(nch):
             g = _Granule()
+            g.lsf = lsf
             g.part2_3_length = bits.get(12)
             g.big_values = bits.get(9)
             g.global_gain = bits.get(8)
-            g.scalefac_compress = bits.get(4)
+            g.scalefac_compress = bits.get(9 if lsf else 4)
             g.window_switching = bool(bits.get1())
             if g.window_switching:
                 g.block_type = bits.get(2)
@@ -208,12 +237,58 @@ def _read_side_info(bits: _Bits, nch: int):
                 g.subblock_gain = (0, 0, 0)
                 g.region0_count = bits.get(4)
                 g.region1_count = bits.get(3)
-            g.preflag = bits.get1()
+            g.preflag = 0 if lsf else bits.get1()
             g.scalefac_scale = bits.get1()
             g.count1table_select = bits.get1()
             chs.append(g)
         granules.append(chs)
     return main_data_begin, scfsi, granules
+
+
+class _MixedGeo:
+    """Mixed-block geometry, per stage (they need NOT agree — see below).
+
+    sf_long_end / sf_short_start: scalefactor-band split for exponents —
+    long bands [0, sf_long_end), then short bands [sf_short_start, 13)
+    contiguously from line band_l[sf_long_end].
+    reorder_pos / reorder_sfb0: first reordered line + first short band
+    whose width drives the [window, line] de-interleave.
+    imdct_long_sb: subbands using the long (36-point) transform.
+    alias_nb: alias-reduction butterfly boundaries.
+
+    MPEG-1 and the ordinary LSF rates use one coherent boundary (36
+    lines = 2 subbands = band_l[8 or 6] = 3*band_s[3]). At the MPEG-2.5
+    8 kHz tables that boundary is 72 lines = 4 subbands — and there the
+    reference chain's decoder (libavcodec, behind the reference's
+    torchaudio — KeyDataset.py:341) keeps the scalefactor walk and the
+    reorder at 72 but still long-transforms only the first 2 subbands
+    and runs a single alias butterfly, leaving subbands 2-3
+    short-windowed under long-band scalefactors. Every value below was
+    oracle-witnessed by per-stage sweeps (single-hot scalefactor
+    ladders, deep-spectrum content at each candidate geometry;
+    tests/test_mp3_lsf.py::test_lsf_mixed_blocks pins the result)."""
+    __slots__ = ("sf_long_end", "sf_short_start", "reorder_pos",
+                 "reorder_sfb0", "imdct_long_sb", "alias_nb")
+
+    def __init__(self, sf_long_end, sf_short_start, reorder_pos,
+                 reorder_sfb0, imdct_long_sb, alias_nb):
+        self.sf_long_end = sf_long_end
+        self.sf_short_start = sf_short_start
+        self.reorder_pos = reorder_pos
+        self.reorder_sfb0 = reorder_sfb0
+        self.imdct_long_sb = imdct_long_sb
+        self.alias_nb = alias_nb
+
+
+_GEO_MPEG1 = _MixedGeo(8, 3, 36, 3, 2, 1)
+_GEO_LSF = _MixedGeo(6, 3, 36, 3, 2, 1)
+_GEO_8K = _MixedGeo(6, 3, 72, 3, 2, 1)
+
+
+def _mixed_geometry(g: _Granule, sr: int) -> _MixedGeo:
+    if not g.lsf:
+        return _GEO_MPEG1
+    return _GEO_8K if sr == 8000 else _GEO_LSF
 
 
 # ------------------------------------------------------------- scalefactors
@@ -254,6 +329,46 @@ def _read_scalefactors(bits: _Bits, g: _Granule, gr: int, scfsi,
     return bits.pos - start
 
 
+def _read_scalefactors_lsf(bits: _Bits, g: _Granule,
+                           is_intensity_ch: bool, sr: int) -> int:
+    """LSF scalefactors: slen quadruple + NR_OF_SFB partitions derived
+    from the 9-bit scalefac_compress (ISO 13818-3 2.4.3.4). The
+    transmitted values are a FLAT sequence; band assignment follows the
+    exponent walk (long bands to sf_long_end, then short bands from
+    sf_short_start), zero-padding if the geometry consumes more slots
+    than were transmitted (MPEG-2.5 8 kHz mixed: 34 slots, 33 values).
+    Also records the per-band slen (g.slen_l / g.slen_s) and sets the
+    implied preflag. Returns part2 bits consumed."""
+    start = bits.pos
+    short = g.window_switching and g.block_type == 2
+    slens, nsfb, preflag = TL.lsf_scalefactor_layout(
+        g.scalefac_compress, is_intensity_ch, short, g.mixed_block)
+    g.preflag = preflag
+    flat = [(bits.get(sl), sl)
+            for n, sl in zip(nsfb, slens) for _ in range(n)]
+    part2 = bits.pos - start
+    flat = iter(flat + [(0, 0)] * 8)
+    g.scalefac_l = np.zeros(22, np.int32)
+    g.scalefac_s = np.zeros((13, 3), np.int32)
+    g.slen_l = np.zeros(22, np.int32)
+    g.slen_s = np.zeros((13, 3), np.int32)
+    if short:
+        if g.mixed_block:
+            geo = _mixed_geometry(g, sr)
+            for sfb in range(geo.sf_long_end):
+                g.scalefac_l[sfb], g.slen_l[sfb] = next(flat)
+            rng = range(geo.sf_short_start, 12)
+        else:
+            rng = range(12)
+        for sfb in rng:
+            for w in range(3):
+                g.scalefac_s[sfb, w], g.slen_s[sfb, w] = next(flat)
+    else:
+        for sfb in range(21):
+            g.scalefac_l[sfb], g.slen_l[sfb] = next(flat)
+    return part2
+
+
 # ------------------------------------------------------------- huffman
 
 def _huff_read(bits: _Bits, tree, max_len: int):
@@ -269,10 +384,16 @@ def _huff_read(bits: _Bits, tree, max_len: int):
 
 
 def _region_boundaries(g: _Granule, sr: int):
-    band = T.SFB_LONG[sr]
+    band, band_s = _bands(sr)
     if g.window_switching:
-        # switched blocks: region0 = 36 lines, region1 = the rest
-        return 36, 576
+        # switched blocks: region0 = the first 3 short bands x 3 windows
+        # for pure short blocks, else the first 8 long bands; both are the
+        # classic "36 lines" at every MPEG-1 rate, but differ at LSF rates
+        # (e.g. 72 at MPEG-2.5 8 kHz short; band[8] at start/stop/mixed) —
+        # pinned against libavcodec by the LSF region differential tests
+        if g.block_type == 2 and not g.mixed_block:
+            return 3 * band_s[3], 576
+        return band[8], 576
     r0 = band[min(g.region0_count + 1, 22)]
     r1 = band[min(g.region0_count + 1 + g.region1_count + 1, 22)]
     return r0, r1
@@ -375,8 +496,7 @@ def _requantize(g: _Granule, is_: np.ndarray, sr: int) -> np.ndarray:
     gain = 2.0 ** ((g.global_gain - 210) / 4.0)
     mult = 1.0 if g.scalefac_scale else 0.5
     short = g.window_switching and g.block_type == 2
-    band_l = T.SFB_LONG[sr]
-    band_s = T.SFB_SHORT[sr]
+    band_l, band_s = _bands(sr)
     q0 = g.global_gain - 210
     qmul = 4 if g.scalefac_scale else 2   # quarter steps per scalefac unit
     if not short:
@@ -391,10 +511,11 @@ def _requantize(g: _Granule, is_: np.ndarray, sr: int) -> np.ndarray:
         _escape_clamp(xr[band_l[21]:], av[band_l[21]:], q0)
     else:
         if g.mixed_block:
-            sf = g.scalefac_l[:8].astype(np.int64)
+            nl = _mixed_geometry(g, sr).sf_long_end
+            sf = g.scalefac_l[:nl].astype(np.int64)
             if g.preflag:
-                sf = sf + _PRETAB[:8].astype(np.int64)
-            for sfb in range(8):
+                sf = sf + _PRETAB[:nl].astype(np.int64)
+            for sfb in range(nl):
                 lo, hi = band_l[sfb], band_l[sfb + 1]
                 xr[lo:hi] = mag[lo:hi] * gain * 2.0 ** (-mult * sf[sfb])
                 _escape_clamp(xr[lo:hi], av[lo:hi],
@@ -404,10 +525,12 @@ def _requantize(g: _Granule, is_: np.ndarray, sr: int) -> np.ndarray:
 
 
 def _requantize_short(g, mag, gain, mult, sr, xr, av):
-    band_s = T.SFB_SHORT[sr]
-    band_l = T.SFB_LONG[sr]
-    long_lines = band_l[8] if g.mixed_block else 0
-    sfb0 = 3 if g.mixed_block else 0
+    band_l, band_s = _bands(sr)
+    if g.mixed_block:
+        geo = _mixed_geometry(g, sr)
+        long_lines, sfb0 = band_l[geo.sf_long_end], geo.sf_short_start
+    else:
+        long_lines, sfb0 = 0, 0
     sf = g.scalefac_s.astype(np.float64)
     q0 = g.global_gain - 210
     qmul = 4 if g.scalefac_scale else 2
@@ -437,6 +560,8 @@ def _stereo(xr_l, xr_r, g_r: _Granule, hdr: _Header, sr: int):
             r = (xr_l - xr_r) / s
             return l, r
         return xr_l, xr_r
+    if hdr.lsf:
+        return _intensity_stereo_lsf(xr_l, xr_r, g_r, hdr, sr, bool(ms))
     return _intensity_stereo(xr_l, xr_r, g_r, hdr, sr, bool(ms))
 
 
@@ -489,17 +614,75 @@ def _intensity_stereo(xr_l, xr_r, g_r, hdr, sr, ms):
     return l, r
 
 
+def _intensity_stereo_lsf(xr_l, xr_r, g_r, hdr, sr, ms):
+    """LSF intensity (ISO 13818-3 2.4.3.4.9.3): position values are the
+    RIGHT channel's scalefactors; the ratio base io is 2^(-1/4) when
+    scalefac_compress bit 0 is CLEAR, 2^(-1/2) when set (probed on the
+    libavcodec oracle: even sfc, pos 1 scales the left channel by
+    2^(-1/4)). k = io^((pos+1)>>1) scales the LEFT channel for odd
+    positions and the RIGHT for even ones. Unlike MPEG-1's is_pos==7
+    rule, every expressible position applies — the LSF position range
+    (max slen 4 -> pos 15) sits below the decoder's 16 cutoff, so no
+    'illegal keeps MS/LR' band exists (oracle-witnessed: slen-3 pos-7
+    still steers)."""
+    l = xr_l.copy()
+    r = xr_r.copy()
+    nz = np.nonzero(xr_r)[0]
+    rzero = (nz[-1] + 1) if nz.size else 0
+    s2 = np.sqrt(2.0)
+    short = g_r.window_switching and g_r.block_type == 2
+    if ms:
+        l = (xr_l + xr_r) / s2
+        r = (xr_l - xr_r) / s2
+    io = 2.0 ** (-0.5) if (g_r.scalefac_compress & 1) else 2.0 ** (-0.25)
+    band_l, band_s = _bands(sr)
+
+    def apply(lo, hi, pos, slen):
+        t = io ** ((pos + 1) >> 1)
+        k0, k1 = (t, 1.0) if (pos & 1) else (1.0, t)
+        l[lo:hi] = xr_l[lo:hi] * k0
+        r[lo:hi] = xr_l[lo:hi] * k1
+
+    if not short:
+        for sfb in range(21, -1, -1):
+            lo = band_l[sfb]
+            hi = band_l[min(sfb + 1, 22)]
+            if lo < rzero:
+                break
+            i = min(sfb, 20)
+            apply(lo, hi, int(g_r.scalefac_l[i]), int(g_r.slen_l[i]))
+    else:
+        if g_r.mixed_block:
+            geo = _mixed_geometry(g_r, sr)
+            pos, sfb0 = band_l[geo.sf_long_end], geo.sf_short_start
+        else:
+            pos, sfb0 = 0, 0
+        spans = []
+        for sfb in range(sfb0, 13):
+            n = band_s[min(sfb + 1, 13)] - band_s[sfb]
+            for w in range(3):
+                spans.append((pos, pos + n, sfb, w))
+                pos += n
+        for lo, hi, sfb, w in reversed(spans):
+            if lo < rzero:
+                break
+            i = min(sfb, 11)
+            apply(lo, hi, int(g_r.scalefac_s[i, w]), int(g_r.slen_s[i, w]))
+    return l, r
+
+
 # ------------------------------------------------------------- reorder
 
 def _reorder_short(g: _Granule, xr: np.ndarray, sr: int) -> np.ndarray:
     if not (g.window_switching and g.block_type == 2):
         return xr
-    band_s = T.SFB_SHORT[sr]
-    band_l = T.SFB_LONG[sr]
-    long_lines = band_l[8] if g.mixed_block else 0
+    band_l, band_s = _bands(sr)
+    if g.mixed_block:
+        geo = _mixed_geometry(g, sr)
+        pos, sfb0 = geo.reorder_pos, geo.reorder_sfb0
+    else:
+        pos, sfb0 = 0, 0
     out = xr.copy()
-    sfb0 = 3 if g.mixed_block else 0
-    pos = long_lines
     for sfb in range(sfb0, 13):
         n = band_s[min(sfb + 1, 13)] - band_s[sfb]
         if pos + 3 * n > 576:
@@ -514,11 +697,12 @@ def _reorder_short(g: _Granule, xr: np.ndarray, sr: int) -> np.ndarray:
 
 # ------------------------------------------------------------- alias + imdct
 
-def _alias_reduce(g: _Granule, xr: np.ndarray) -> np.ndarray:
+def _alias_reduce(g: _Granule, xr: np.ndarray, sr: int) -> np.ndarray:
     short = g.window_switching and g.block_type == 2
     if short and not g.mixed_block:
         return xr
-    n_b = 1 if short else 31
+    # mixed blocks: butterflies only at the long-region boundary
+    n_b = _mixed_geometry(g, sr).alias_nb if short else 31
     out = xr.copy()
     for b in range(n_b):
         base = 18 * (b + 1)
@@ -531,22 +715,23 @@ def _alias_reduce(g: _Granule, xr: np.ndarray) -> np.ndarray:
     return out
 
 
-def _imdct_granule(g: _Granule, xr: np.ndarray, overlap: np.ndarray):
+def _imdct_granule(g: _Granule, xr: np.ndarray, overlap: np.ndarray,
+                   sr: int):
     """(18, 32) time-major subband samples; updates overlap in place."""
     out = np.empty((18, 32))
     short = g.window_switching and g.block_type == 2
+    long_sb = (_mixed_geometry(g, sr).imdct_long_sb
+               if short and g.mixed_block else 0)
     for sb in range(32):
         X = xr[18 * sb:18 * (sb + 1)]
         bt = g.block_type
-        if short and (not g.mixed_block or sb >= 2):
+        if short and (not g.mixed_block or sb >= long_sb):
             z = np.zeros(36)
             for w in range(3):
                 xw = (_I12 @ X[w::3]) * _WIN[2]
                 z[6 + 6 * w:6 + 6 * w + 12] += xw
         else:
-            wt = 0 if (short and g.mixed_block and sb < 2) else bt
-            if short and g.mixed_block and sb < 2:
-                wt = 0
+            wt = 0 if (short and g.mixed_block and sb < long_sb) else bt
             z = (_I36 @ X) * _WIN[wt if wt != 2 else 0]
         out[:, sb] = z[:18] + overlap[:, sb]
         overlap[:, sb] = z[18:]
@@ -596,25 +781,35 @@ class Mp3Decoder:
     def decode_frame(self, hdr: _Header, frame: bytes) -> np.ndarray:
         nch = hdr.nch
         off = 4 + (2 if hdr.crc else 0)
-        side_len = 17 if nch == 1 else 32
+        if hdr.lsf:
+            side_len = 9 if nch == 1 else 17
+        else:
+            side_len = 17 if nch == 1 else 32
         bits = _Bits(frame[off:off + side_len])
-        main_data_begin, scfsi, granules = _read_side_info(bits, nch)
+        main_data_begin, scfsi, granules = _read_side_info(bits, nch,
+                                                           hdr.lsf)
         main = frame[off + side_len:]
         if main_data_begin > len(self.reservoir):
             # not enough reservoir (stream start / cut): frame unusable
             self.reservoir = (self.reservoir + main)[-511:]
-            return np.zeros((1152, nch))
+            return np.zeros((hdr.samples, nch))
         data = (self.reservoir[len(self.reservoir) - main_data_begin:]
                 if main_data_begin else b"") + main
         self.reservoir = (self.reservoir + main)[-511:]
         bits = _Bits(data)
-        pcm = np.empty((1152, nch))
+        pcm = np.empty((hdr.samples, nch))
         prev = [None] * nch
-        for gr in range(2):
+        intensity = hdr.mode == 1 and (hdr.mode_ext & 1)
+        for gr in range(len(granules)):
             xr_ch = []
             for ch in range(nch):
                 g = granules[gr][ch]
-                part2 = _read_scalefactors(bits, g, gr, scfsi[ch], prev[ch])
+                if hdr.lsf:
+                    part2 = _read_scalefactors_lsf(
+                        bits, g, bool(intensity) and ch == 1, hdr.sr)
+                else:
+                    part2 = _read_scalefactors(bits, g, gr, scfsi[ch],
+                                               prev[ch])
                 prev[ch] = g
                 is_, _ = _read_huffman(bits, g, hdr.sr, g.part2_3_length,
                                        part2)
@@ -625,8 +820,8 @@ class Mp3Decoder:
             for ch in range(nch):
                 g = granules[gr][ch]
                 xr = _reorder_short(g, xr_ch[ch], hdr.sr)
-                xr = _alias_reduce(g, xr)
-                sbs = _imdct_granule(g, xr, self.overlap[ch])
+                xr = _alias_reduce(g, xr, hdr.sr)
+                sbs = _imdct_granule(g, xr, self.overlap[ch], hdr.sr)
                 pcm[gr * 576:(gr + 1) * 576, ch] = self.synth[ch].run(sbs)
         return pcm
 
@@ -648,9 +843,7 @@ def decode_mp3_bytes(data: bytes):
     while off + 4 <= n:
         try:
             hdr = _Header(data, off)
-        except Mp3Error as e:
-            if "MPEG-2" in str(e):
-                raise
+        except Mp3Error:
             off += 1
             continue
         if off + hdr.frame_bytes > n:
@@ -667,7 +860,7 @@ def decode_mp3_bytes(data: bytes):
         chunks.append(dec.decode_frame(hdr, data[off:off + hdr.frame_bytes]))
         off = nxt
     if dec is None:
-        raise Mp3Error("no MPEG-1 Layer III frames found")
+        raise Mp3Error("no Layer III frames found")
     return np.concatenate(chunks, axis=0).astype(np.float32), sr
 
 

@@ -37,7 +37,11 @@ from audio_key_estimation_tpu.train.metrics import mirex_categories
 from audio_key_estimation_tpu.utils import labels as L
 
 FRAMES = 5
-LOC_WINDOW_SIZE = 10  # seconds — the convergence runs' config
+# seconds — the convergence runs' config; AKX_LOC_WINDOW overrides to
+# recompute the ceiling for the window-context experiments (VERDICT r4
+# item 5): the straddle fraction grows with the window, so each window
+# size has its OWN oracle ceiling
+LOC_WINDOW_SIZE = int(os.environ.get("AKX_LOC_WINDOW", 10))
 
 
 def song_oracle(segments, loader):

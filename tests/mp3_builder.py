@@ -163,12 +163,28 @@ def _encode_values(g: Granule, sr: int):
 
 def _region_pair_ranges(g: Granule, sr: int, n_pairs: int):
     """[(lo_pair, hi_pair)] x3 for the big-values regions."""
+    if len(set(g.table_select)) == 1:
+        # uniform table: boundaries cannot change the bitstream — also the
+        # LSF probing path, which runs before the LSF band tables exist
+        return [(0, n_pairs), (n_pairs, n_pairs), (n_pairs, n_pairs)]
     if g.window_switching:
-        # switched blocks: region0 = first 36 lines (2 long sfbs worth of
-        # short data), region1 = rest, region2 empty (ISO 2.4.2.7)
-        b0 = min(36 // 2, n_pairs)
+        # switched blocks: region0 = 3 short bands (x3 windows) for pure
+        # short blocks, else 8 long bands — the classic 36 lines at every
+        # MPEG-1 rate; differs at LSF rates (ISO 2.4.2.7 / 13818-3). Must
+        # mirror data/mp3.py::_region_boundaries exactly.
+        from audio_key_estimation_tpu.data.mp3 import _region_boundaries
+        b0 = min(_region_boundaries(g, sr)[0] // 2, n_pairs)
         return [(0, b0), (b0, n_pairs), (n_pairs, n_pairs)]
     from audio_key_estimation_tpu.data import _mp3_tables as T
+    if sr not in T.SFB_LONG:
+        from audio_key_estimation_tpu.data import _mp3_tables_lsf as TL
+        band = TL.SFB_LONG_LSF[sr]
+        l0 = band[min(g.region0_count + 1, len(band) - 1)]
+        l1 = band[min(g.region0_count + 1 + g.region1_count + 1,
+                      len(band) - 1)]
+        return [(0, min(l0 // 2, n_pairs)),
+                (min(l0 // 2, n_pairs), min(l1 // 2, n_pairs)),
+                (min(l1 // 2, n_pairs), n_pairs)]
     band = T.SFB_LONG[sr]
     l0 = band[min(g.region0_count + 1, len(band) - 1)]
     l1 = band[min(g.region0_count + 1 + g.region1_count + 1, len(band) - 1)]
@@ -290,3 +306,123 @@ def silence_granule() -> Granule:
 def build_stream(frames, lead_in: int = 0) -> bytes:
     """Concatenate frames into a raw mp3 stream."""
     return b"".join(frames)
+
+
+# --------------------------------------------------------------- LSF frames
+
+SAMPLE_RATES_V2 = {22050: 0, 24000: 1, 16000: 2}
+SAMPLE_RATES_V25 = {11025: 0, 12000: 1, 8000: 2}
+# MPEG-2/2.5 Layer III bitrate table (kbit/s), index 1..14
+BITRATES_LSF = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+                96, 112, 128, 144, 160]
+
+
+def _scalefac_bits_lsf(g: Granule, is_intensity_ch: bool) -> "tuple[str, int]":
+    """LSF scalefactor field bits (ISO 13818-3 2.4.3.4: slen quadruple +
+    nr_of_sfb partitions derived from the 9-bit scalefac_compress)."""
+    from audio_key_estimation_tpu.data import _mp3_tables_lsf as TL
+    slens, nsfb, _pre = TL.lsf_scalefactor_layout(
+        g.scalefac_compress, is_intensity_ch,
+        g.window_switching and g.block_type == 2, g.mixed_block)
+    total = sum(nsfb)
+    sf = list(g.scalefacs) or [0] * total
+    if len(sf) != total:
+        raise ValueError(f"need {total} scalefacs, got {len(sf)}")
+    bits = Bits()
+    i = 0
+    for n, sl in zip(nsfb, slens):
+        for _ in range(n):
+            if sf[i] >= (1 << sl) and sl == 0:
+                raise ValueError("nonzero scalefac in slen-0 partition")
+            bits.put(sf[i], sl)
+            i += 1
+    return "".join(str(b) for b in bits.bits), len(bits)
+
+
+def build_frame_lsf(granules, sr: int = 22050, bitrate: int = 64,
+                    mode: str = "mono", mode_ext: int = 0,
+                    main_data_begin: int = 0, pad_main: bytes = b"") -> bytes:
+    """One MPEG-2 / MPEG-2.5 (LSF) Layer III frame: 576 samples, ONE
+    granule, 8-bit main_data_begin, no scfsi, 9-bit scalefac_compress,
+    no preflag bit (ISO 13818-3 2.4.1.7).
+
+    granules: one Granule for mono, [ch0, ch1] for stereo/joint.
+    """
+    if sr in SAMPLE_RATES_V2:
+        ver_bits, sr_idx = 0b10, SAMPLE_RATES_V2[sr]
+    elif sr in SAMPLE_RATES_V25:
+        ver_bits, sr_idx = 0b00, SAMPLE_RATES_V25[sr]
+    else:
+        raise ValueError(f"not an LSF sample rate: {sr}")
+    nch = 1 if mode == "mono" else 2
+    grs = [granules] if isinstance(granules, Granule) else list(granules)
+    if len(grs) != nch:
+        raise ValueError(f"{nch} channels expected")
+
+    frame_len = 72 * bitrate * 1000 // sr
+    hdr = Bits()
+    hdr.put(0x7FF, 11)
+    hdr.put(ver_bits, 2)
+    hdr.put(0b01, 2)                 # Layer III
+    hdr.put(1, 1)                    # no CRC
+    hdr.put(BITRATES_LSF.index(bitrate), 4)
+    hdr.put(sr_idx, 2)
+    hdr.put(0, 1)                    # padding
+    hdr.put(0, 1)                    # private
+    hdr.put({"stereo": 0, "joint": 1, "mono": 3}[mode], 2)
+    hdr.put(mode_ext, 2)
+    hdr.put(0, 1)                    # copyright
+    hdr.put(1, 1)                    # original
+    hdr.put(0, 2)                    # emphasis
+
+    main = ""
+    p23 = [0] * nch
+    for ch in range(nch):
+        g = grs[ch]
+        intensity_ch = mode == "joint" and (mode_ext & 1) and ch == 1
+        sf_bits, n_sf = _scalefac_bits_lsf(g, bool(intensity_ch))
+        if g.huffman_bits and (g.big_pairs or g.count1_quads):
+            raise ValueError("give huffman_bits OR values, not both")
+        hb = g.huffman_bits or (
+            _encode_values(g, sr)
+            if (g.big_pairs or g.count1_quads) else "")
+        if not g.huffman_bits and g.big_pairs:
+            g = replace(g, big_values=len(g.big_pairs))
+            grs[ch] = g
+        main += sf_bits + hb
+        p23[ch] = n_sf + len(hb)
+
+    side = Bits()
+    side.put(main_data_begin, 8)
+    side.put(0, 1 if nch == 1 else 2)        # private bits
+    for ch in range(nch):
+        g = grs[ch]
+        side.put(p23[ch], 12)
+        side.put(g.big_values, 9)
+        side.put(g.global_gain, 8)
+        side.put(g.scalefac_compress, 9)
+        side.put(1 if g.window_switching else 0, 1)
+        if g.window_switching:
+            side.put(g.block_type, 2)
+            side.put(1 if g.mixed_block else 0, 1)
+            for r in range(2):
+                side.put(g.table_select[r], 5)
+            for w in range(3):
+                side.put(g.subblock_gain[w], 3)
+        else:
+            for r in range(3):
+                side.put(g.table_select[r], 5)
+            side.put(g.region0_count, 4)
+            side.put(g.region1_count, 3)
+        side.put(g.scalefac_scale, 1)
+        side.put(g.count1table_select, 1)
+
+    body = Bits()
+    body.bits = hdr.bits + side.bits
+    assert len(body) == 32 + (72 if nch == 1 else 136)
+    body.put_str(main)
+    frame = bytearray(body.tobytes(pad_to=frame_len))
+    if pad_main:
+        off = (len(body) + 7) // 8
+        frame[off:off + len(pad_main)] = pad_main[:frame_len - off]
+    return bytes(frame)

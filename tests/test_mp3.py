@@ -322,8 +322,10 @@ def test_id3_and_garbage_resync():
     assert mine2.shape == (3 * 1152, 1)
 
 
-def test_mpeg2_raises():
-    # MPEG-2 (LSF) header: sync + version bits 10
+def test_lone_headers_no_frame_raises():
+    # valid LSF headers whose frame_bytes never lands on the next sync:
+    # the resync scan must reject them all rather than decode garbage
+    # (LSF itself is supported — see tests/test_mp3_lsf.py)
     hdr = bytes([0xFF, 0xF2, 0x90, 0x00]) + bytes(400)
     with pytest.raises(Mp3Error):
         decode_mp3_bytes(hdr * 3)
