@@ -151,6 +151,38 @@ def test_lsf_mixed_blocks(sr):
 
 
 @needs_oracle
+def test_lsf_mixed_8k_deep_spectrum():
+    """The geometry discriminator for the MPEG-2.5 8 kHz mixed-block
+    per-stage rules (mp3.py::_GEO_8K): 180 pairs reach line 360 — deep
+    enough that a wrong reorder start/band origin (e.g. the spec-coherent
+    48-line split instead of the oracle's 72) corrupts the de-interleave
+    (rel err ~1.1 observed), and a single hot scalefactor per sweep pins
+    the exponent walk (sf_long_end=6/short_start=3, NOT the 4/2 that
+    band_l[4]=3*band_s[2]=48 would suggest)."""
+    rng = np.random.default_rng(9)
+    pairs = _pairs(rng, 180, 2)
+    g = B.Granule(big_values=180, big_pairs=pairs,
+                  window_switching=True, block_type=2, mixed_block=True,
+                  table_select=(10, 10, 10), global_gain=200)
+    assert _rel_diff(
+        B.build_stream([B.build_frame_lsf(g, sr=8000)] * 5)) < 1e-5
+    sfc = 210
+    slens, nsfb, _ = TL.lsf_scalefactor_layout(sfc, False, True, True)
+    flat_slen = [sl for n, sl in zip(nsfb, slens) for _ in range(n)]
+    total = len(flat_slen)
+    for hot in range(0, total, 7):
+        sf = [0] * total
+        sf[hot] = min(3, (1 << flat_slen[hot]) - 1) if flat_slen[hot] else 0
+        g2 = B.Granule(big_values=180, big_pairs=pairs,
+                       window_switching=True, block_type=2,
+                       mixed_block=True, table_select=(10, 10, 10),
+                       scalefac_compress=sfc, scalefacs=tuple(sf),
+                       global_gain=200)
+        r = _rel_diff(B.build_stream([B.build_frame_lsf(g2, sr=8000)] * 5))
+        assert r < 1e-5, (hot, r)
+
+
+@needs_oracle
 @pytest.mark.parametrize("bt", [1, 3])
 def test_lsf_start_stop_blocks(bt):
     rng = np.random.default_rng(bt + 40)
