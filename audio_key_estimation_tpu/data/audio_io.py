@@ -266,9 +266,9 @@ def decode_many(paths, workers: int = 8, raw: bool = False):
     pool = lib.akx_pool_create(workers) if lib is not None else None
     native_exts = (".wav", ".mp3") if has_mp3 else (".wav",)
     py_jobs: dict = {}
-    # mp3 may bounce back from the native pool (LSF/damaged streams fall
-    # through to the numpy decoder / external transcode), so a Python pool
-    # is kept warm whenever mp3 is in the batch
+    # mp3 may bounce back from the native pool (damaged/non-conforming
+    # streams fall through to the numpy decoder / external transcode), so
+    # a Python pool is kept warm whenever mp3 is in the batch
     needs_py = [p for p in paths
                 if not pool
                 or os.path.splitext(p)[1].lower() not in native_exts
@@ -303,7 +303,7 @@ def decode_many(paths, workers: int = 8, raw: bool = False):
                                 lib.akx_result_samples(r), shape=(m,)).copy()
                             results[rid] = (buf, sr)
                         elif native_paths[rid].lower().endswith(".mp3"):
-                            # LSF/damaged mp3: decode_audio re-derives the
+                            # damaged mp3: decode_audio re-derives the
                             # error and runs the transcode fallback chain
                             py_jobs[rid] = tpool.submit(
                                 decode_audio, native_paths[rid])

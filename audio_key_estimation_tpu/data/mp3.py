@@ -335,14 +335,20 @@ def _read_scalefactors_lsf(bits: _Bits, g: _Granule,
     from the 9-bit scalefac_compress (ISO 13818-3 2.4.3.4). The
     transmitted values are a FLAT sequence; band assignment follows the
     exponent walk (long bands to sf_long_end, then short bands from
-    sf_short_start), zero-padding if the geometry consumes more slots
-    than were transmitted (MPEG-2.5 8 kHz mixed: 34 slots, 33 values).
-    Also records the per-band slen (g.slen_l / g.slen_s) and sets the
-    implied preflag. Returns part2 bits consumed."""
+    sf_short_start — 6 + 9x3 = 33 slots for mixed at every LSF rate,
+    matching the transmitted count exactly; the zero-pad tail is a
+    safety net only). Also records the per-band slen (g.slen_l /
+    g.slen_s) and sets the implied preflag. Returns part2 bits
+    consumed."""
     start = bits.pos
     short = g.window_switching and g.block_type == 2
-    slens, nsfb, preflag = TL.lsf_scalefactor_layout(
-        g.scalefac_compress, is_intensity_ch, short, g.mixed_block)
+    try:
+        slens, nsfb, preflag = TL.lsf_scalefactor_layout(
+            g.scalefac_compress, is_intensity_ch, short, g.mixed_block)
+    except ValueError as e:
+        # malformed intensity compress (isc 255): surface as a decode
+        # error so audio_io's transcode fallback chain engages
+        raise Mp3Error(str(e))
     g.preflag = preflag
     flat = [(bits.get(sl), sl)
             for n, sl in zip(nsfb, slens) for _ in range(n)]

@@ -1,17 +1,20 @@
-// akx_mp3 — MPEG-1 Layer III decoder (C++ fast path).
+// akx_mp3 — MPEG Layer III decoder (C++ fast path).
 //
 // The reference ingests mp3 through torchaudio's C++ decoders
 // (reference KeyDataset.py:341); 8 of its 14 corpora are mp3. This is the
 // native-speed implementation of the same decoder specified executably in
 // data/mp3.py — both are validated against an independent decoder
-// (libavcodec via tests/av_oracle.py) by the differential suite in
-// tests/test_mp3.py, and against each other. Math in double, PCM out in
-// float32, channel 0 (what the pipeline consumes).
+// (libavcodec via tests/av_oracle.py) by the differential suites in
+// tests/test_mp3.py + test_mp3_lsf.py, and against each other. Math in
+// double, PCM out in float32, channel 0 (what the pipeline consumes).
 //
-// Scope: MPEG-1 Layer III, 32/44.1/48 kHz, mono/stereo, all block types,
+// Scope: MPEG-1 Layer III (32/44.1/48 kHz, mono/stereo, all block types,
 // MS + intensity stereo, scfsi, the bit reservoir, all Huffman tables,
-// and the oracle's escape-value requantizer clamp (see
-// data/mp3.py::_escape_clamp for the witnessed rule).
+// the oracle's escape-value requantizer clamp — see
+// data/mp3.py::_escape_clamp for the witnessed rule) plus the MPEG-2 /
+// MPEG-2.5 lower-sampling-frequency profile (8-24 kHz, 576-sample
+// single-granule frames, 9-bit scalefac_compress partitions, io-based
+// intensity stereo, the oracle-pinned 8 kHz mixed-block geometry).
 
 #include <cmath>
 #include <cstdint>
@@ -163,10 +166,13 @@ const Tables& tables() {
 // ---------------------------------------------------------------- header
 
 struct Header {
-  int sr = 0, sr_index = 0, bitrate = 0, padding = 0;
+  int sr = 0, bitrate = 0, padding = 0;
   int mode = 0, mode_ext = 0, nch = 0, frame_bytes = 0;
+  int samples = 1152;  // 576 for LSF (one granule)
   bool crc = false;
-  bool lsf = false;    // MPEG-2/2.5 stream seen (caller raises)
+  bool lsf = false;  // MPEG-2 (v=2) / MPEG-2.5 (v=0): 13818-3 LSF profile
+  const int16_t* band_l = nullptr;  // scalefactor band boundaries
+  const int16_t* band_s = nullptr;
 
   bool parse(const uint8_t* b, size_t len, size_t off) {
     if (off + 4 > len) return false;
@@ -176,22 +182,31 @@ struct Header {
     int version = (h >> 19) & 3;
     int layer = (h >> 17) & 3;
     if (layer != 1) return false;  // not Layer III
-    if (version != 3) {
-      lsf = true;  // MPEG-2/2.5
-      return false;
-    }
+    if (version == 1) return false;  // reserved version bits
+    lsf = version != 3;
     crc = ((h >> 16) & 1) == 0;
     int bi = (h >> 12) & 0xF;
     int si = (h >> 10) & 3;
     if (bi == 0 || bi == 15 || si == 3) return false;
-    bitrate = kBitrateTable[bi];
-    sr = kSrTable[si];
-    sr_index = si;
+    if (lsf) {
+      bitrate = akx_mp3::kBitrateLsf[bi];
+      int idx = (version == 2 ? 0 : 3) + si;  // V2: 22050/24000/16000
+      sr = akx_mp3::kLsfRates[idx];
+      band_l = akx_mp3::kSfbLongLsf[idx];
+      band_s = akx_mp3::kSfbShortLsf[idx];
+      samples = 576;
+    } else {
+      bitrate = kBitrateTable[bi];
+      sr = kSrTable[si];
+      band_l = akx_mp3::kSfbLong[si];
+      band_s = akx_mp3::kSfbShort[si];
+      samples = 1152;
+    }
     padding = (h >> 9) & 1;
     mode = (h >> 6) & 3;
     mode_ext = (h >> 4) & 3;
     nch = mode == 3 ? 1 : 2;
-    frame_bytes = 144 * bitrate * 1000 / sr + padding;
+    frame_bytes = (samples / 8) * bitrate * 1000 / sr + padding;
     return true;
   }
 };
@@ -201,6 +216,7 @@ struct Header {
 struct Granule {
   int part2_3_length, big_values, global_gain, scalefac_compress;
   bool window_switching, mixed_block;
+  bool lsf = false;
   int block_type, table_select[3], subblock_gain[3];
   int region0_count, region1_count;
   int preflag, scalefac_scale, count1table_select;
@@ -208,21 +224,38 @@ struct Granule {
   int scalefac_s[13][3];
 
   bool is_short() const { return window_switching && block_type == 2; }
+  // mixed-block long region: 8 long sfb (MPEG-1) / 6 (LSF). band_l of
+  // that count is ALSO the reorder/intensity boundary at every rate
+  // (36 lines; 72 at MPEG-2.5 8 kHz) — oracle-pinned per stage, see
+  // data/mp3.py::_MixedGeo. The imdct long region (2 subbands) and the
+  // single alias butterfly below are constants at EVERY rate.
+  int mixed_long_end() const { return lsf ? 6 : 8; }
 };
 
-bool read_side_info(Bits* bits, int nch, int* main_data_begin,
+// MPEG-1: 9-bit main_data_begin, scfsi, TWO granules, 4-bit
+// scalefac_compress, explicit preflag. LSF (ISO 13818-3 2.4.1.7): 8-bit
+// main_data_begin, no scfsi, ONE granule, 9-bit scalefac_compress, no
+// preflag bit (implied by the scalefac_compress range).
+bool read_side_info(Bits* bits, int nch, bool lsf, int* main_data_begin,
                     int scfsi[2][4], Granule g[2][2], std::string* err) {
-  *main_data_begin = bits->get(9);
-  bits->get(nch == 1 ? 5 : 3);
-  for (int ch = 0; ch < nch; ++ch)
-    for (int i = 0; i < 4; ++i) scfsi[ch][i] = bits->get1();
-  for (int gr = 0; gr < 2; ++gr) {
+  *main_data_begin = bits->get(lsf ? 8 : 9);
+  if (lsf) {
+    bits->get(nch == 1 ? 1 : 2);
+    for (int ch = 0; ch < 2; ++ch)
+      for (int i = 0; i < 4; ++i) scfsi[ch][i] = 0;
+  } else {
+    bits->get(nch == 1 ? 5 : 3);
+    for (int ch = 0; ch < nch; ++ch)
+      for (int i = 0; i < 4; ++i) scfsi[ch][i] = bits->get1();
+  }
+  for (int gr = 0; gr < (lsf ? 1 : 2); ++gr) {
     for (int ch = 0; ch < nch; ++ch) {
       Granule& x = g[gr][ch];
+      x.lsf = lsf;
       x.part2_3_length = bits->get(12);
       x.big_values = bits->get(9);
       x.global_gain = bits->get(8);
-      x.scalefac_compress = bits->get(4);
+      x.scalefac_compress = bits->get(lsf ? 9 : 4);
       x.window_switching = bits->get1() != 0;
       if (x.window_switching) {
         x.block_type = bits->get(2);
@@ -246,7 +279,7 @@ bool read_side_info(Bits* bits, int nch, int* main_data_begin,
         x.region0_count = bits->get(4);
         x.region1_count = bits->get(3);
       }
-      x.preflag = bits->get1();
+      x.preflag = lsf ? 0 : bits->get1();
       x.scalefac_scale = bits->get1();
       x.count1table_select = bits->get1();
     }
@@ -293,15 +326,106 @@ int read_scalefactors(Bits* bits, Granule* g, int gr, const int scfsi[4],
   return (int)(bits->pos - start);
 }
 
+// (slens[4], nsfb[4], preflag) for one LSF granule-channel; mirrors
+// data/_mp3_tables_lsf.py::lsf_scalefactor_layout (ISO 13818-3 2.4.3.4)
+bool lsf_scalefactor_layout(int sfc, bool intensity_ch, bool short_,
+                            bool mixed, int slens[4], const int8_t** nsfb,
+                            int* preflag) {
+  int cls = (short_ && mixed) ? 2 : (short_ ? 1 : 0);
+  int blk;
+  *preflag = 0;
+  if (intensity_ch) {
+    int isc = sfc >> 1;
+    if (isc < 180) {
+      slens[0] = isc / 36; slens[1] = (isc % 36) / 6;
+      slens[2] = isc % 6; slens[3] = 0;
+      blk = 3;
+    } else if (isc < 244) {
+      int i = isc - 180;
+      slens[0] = i >> 4; slens[1] = (i >> 2) & 3;
+      slens[2] = i & 3; slens[3] = 0;
+      blk = 4;
+    } else if (isc < 255) {
+      int i = isc - 244;
+      slens[0] = i / 3; slens[1] = i % 3;
+      slens[2] = 0; slens[3] = 0;
+      blk = 5;
+    } else {
+      return false;  // out of range
+    }
+  } else {
+    if (sfc < 400) {
+      slens[0] = (sfc >> 4) / 5; slens[1] = (sfc >> 4) % 5;
+      slens[2] = (sfc % 16) >> 2; slens[3] = sfc & 3;
+      blk = 0;
+    } else if (sfc < 500) {
+      int i = sfc - 400;
+      slens[0] = (i >> 2) / 5; slens[1] = (i >> 2) % 5;
+      slens[2] = i & 3; slens[3] = 0;
+      blk = 1;
+    } else {
+      int i = sfc - 500;
+      slens[0] = i / 3; slens[1] = i % 3;
+      slens[2] = 0; slens[3] = 0;
+      blk = 2;
+      *preflag = 1;
+    }
+  }
+  *nsfb = akx_mp3::kLsfNsfb[blk][cls];
+  return true;
+}
+
+// LSF scalefactors: flat partition read, then the exponent-walk band
+// assignment (long bands to mixed_long_end, short from sfb 3); mirrors
+// data/mp3.py::_read_scalefactors_lsf. Returns part2 bits consumed.
+int read_scalefactors_lsf(Bits* bits, Granule* g, bool intensity_ch) {
+  int slens[4], preflag;
+  const int8_t* nsfb;
+  std::memset(g->scalefac_l, 0, sizeof(g->scalefac_l));
+  std::memset(g->scalefac_s, 0, sizeof(g->scalefac_s));
+  if (!lsf_scalefactor_layout(g->scalefac_compress, intensity_ch,
+                              g->is_short(), g->mixed_block, slens, &nsfb,
+                              &preflag))
+    return -1;  // malformed intensity compress: decode error
+  g->preflag = preflag;
+  size_t start = bits->pos;
+  int flat[40];
+  int total = 0;
+  for (int k = 0; k < 4; ++k)
+    for (int i = 0; i < nsfb[k]; ++i) flat[total++] = bits->get(slens[k]);
+  int part2 = (int)(bits->pos - start);
+  while (total < 40) flat[total++] = 0;  // safety pad (walk fits exactly)
+  int j = 0;
+  if (g->is_short()) {
+    int sfb0 = 0;
+    if (g->mixed_block) {
+      for (int sfb = 0; sfb < g->mixed_long_end(); ++sfb)
+        g->scalefac_l[sfb] = flat[j++];
+      sfb0 = 3;
+    }
+    for (int sfb = sfb0; sfb < 12; ++sfb)
+      for (int w = 0; w < 3; ++w) g->scalefac_s[sfb][w] = flat[j++];
+  } else {
+    for (int sfb = 0; sfb < 21; ++sfb) g->scalefac_l[sfb] = flat[j++];
+  }
+  return part2;
+}
+
 // --------------------------------------------------------------- huffman
 
-void region_boundaries(const Granule& g, int sri, int* r0, int* r1) {
+// mirrors data/mp3.py::_region_boundaries: switched blocks split after
+// 3 short bands x3 windows (pure short) or 8 long bands — both 36 lines
+// at every MPEG-1 rate but rate-dependent at LSF (72 at MPEG-2.5 8 kHz
+// short); oracle-pinned by the LSF region differential tests
+void region_boundaries(const Granule& g, const Header& hdr, int* r0,
+                       int* r1) {
   if (g.window_switching) {
-    *r0 = 36;
+    *r0 = (g.block_type == 2 && !g.mixed_block) ? 3 * hdr.band_s[3]
+                                                : hdr.band_l[8];
     *r1 = 576;
     return;
   }
-  const int16_t* band = akx_mp3::kSfbLong[sri];
+  const int16_t* band = hdr.band_l;
   int a = g.region0_count + 1;
   int b = g.region0_count + 1 + g.region1_count + 1;
   *r0 = band[a < 22 ? a : 22];
@@ -309,11 +433,11 @@ void region_boundaries(const Granule& g, int sri, int* r0, int* r1) {
 }
 
 // 576 integer spectral values; mirrors data/mp3.py::_read_huffman
-void read_huffman(Bits* bits, const Granule& g, int sri, size_t end,
-                  int32_t is[576]) {
+void read_huffman(Bits* bits, const Granule& g, const Header& hdr,
+                  size_t end, int32_t is[576]) {
   std::memset(is, 0, 576 * sizeof(int32_t));
   int r0, r1;
-  region_boundaries(g, sri, &r0, &r1);
+  region_boundaries(g, hdr, &r0, &r1);
   int big_end = 2 * g.big_values;
   if (big_end > 576) big_end = 576;
   const Trees& tr = trees();
@@ -385,10 +509,10 @@ inline double requantized(int v, double scale, int q4) {
   return (v < 0 ? -mag : mag) * scale;
 }
 
-void requantize(const Granule& g, const int32_t is[576], int sri,
-                double xr[576]) {
-  const int16_t* band_l = akx_mp3::kSfbLong[sri];
-  const int16_t* band_s = akx_mp3::kSfbShort[sri];
+void requantize(const Granule& g, const int32_t is[576],
+                const Header& hdr, double xr[576]) {
+  const int16_t* band_l = hdr.band_l;
+  const int16_t* band_s = hdr.band_s;
   double gain = std::exp2((g.global_gain - 210) / 4.0);
   double mult = g.scalefac_scale ? 1.0 : 0.5;
   int q0 = g.global_gain - 210;
@@ -408,14 +532,15 @@ void requantize(const Granule& g, const int32_t is[576], int sri,
   }
   int pos = 0;
   if (g.mixed_block) {
-    for (int sfb = 0; sfb < 8; ++sfb) {
+    int nl = g.mixed_long_end();
+    for (int sfb = 0; sfb < nl; ++sfb) {
       int sf = g.scalefac_l[sfb] + (g.preflag ? akx_mp3::kPretab[sfb] : 0);
       double scale = gain * std::exp2(-mult * sf);
       int q4 = q0 - qmul * sf;
       for (int i = band_l[sfb]; i < band_l[sfb + 1]; ++i)
         xr[i] = requantized(is[i], scale, q4);
     }
-    pos = band_l[8];
+    pos = band_l[nl];
   }
   int sfb0 = g.mixed_block ? 3 : 0;
   for (int sfb = sfb0; sfb < 13; ++sfb) {
@@ -435,9 +560,9 @@ void requantize(const Granule& g, const int32_t is[576], int sri,
 
 // ----------------------------------------------------------------- stereo
 
-// mirrors data/mp3.py::_stereo/_intensity_stereo
+// mirrors data/mp3.py::_stereo/_intensity_stereo/_intensity_stereo_lsf
 void stereo_process(double xr_l[576], double xr_r[576], const Granule& g_r,
-                    const Header& hdr, int sri) {
+                    const Header& hdr) {
   bool ms = hdr.mode == 1 && (hdr.mode_ext & 2);
   bool intensity = hdr.mode == 1 && (hdr.mode_ext & 1);
   const double isqrt2 = 1.0 / std::sqrt(2.0);
@@ -470,7 +595,23 @@ void stereo_process(double xr_l[576], double xr_r[576], const Granule& g_r,
       xr_r[i] = r;
     }
   }
+  // LSF intensity (13818-3 2.4.3.4.9.3, oracle-pinned in
+  // tests/test_mp3_lsf.py): io by scalefac_compress bit 0, k scales the
+  // LEFT channel for odd positions / RIGHT for even, every expressible
+  // position applies (no MPEG-1-style illegal marker)
+  double io = (g_r.scalefac_compress & 1) ? std::exp2(-0.5)
+                                          : std::exp2(-0.25);
   auto apply = [&](int lo, int hi, int is_pos) {
+    if (hdr.lsf) {
+      double t = std::pow(io, (is_pos + 1) >> 1);
+      double k0 = (is_pos & 1) ? t : 1.0;
+      double k1 = (is_pos & 1) ? 1.0 : t;
+      for (int i = lo; i < hi; ++i) {
+        xr_l[i] = orig_l[i] * k0;
+        xr_r[i] = orig_l[i] * k1;
+      }
+      return;
+    }
     if (is_pos == 7) return;  // illegal position: leave as-is
     double ratio = std::tan(is_pos * kPi / 12.0);
     for (int i = lo; i < hi; ++i) {
@@ -478,8 +619,8 @@ void stereo_process(double xr_l[576], double xr_r[576], const Granule& g_r,
       xr_r[i] = orig_l[i] * (1.0 / (1.0 + ratio));
     }
   };
-  const int16_t* band_l = akx_mp3::kSfbLong[sri];
-  const int16_t* band_s = akx_mp3::kSfbShort[sri];
+  const int16_t* band_l = hdr.band_l;
+  const int16_t* band_s = hdr.band_s;
   if (!g_r.is_short()) {
     for (int sfb = 21; sfb >= 0; --sfb) {
       int lo = band_l[sfb];
@@ -488,7 +629,7 @@ void stereo_process(double xr_l[576], double xr_r[576], const Granule& g_r,
       apply(lo, hi, g_r.scalefac_l[sfb < 21 ? (sfb < 20 ? sfb : 20) : 20]);
     }
   } else {
-    int long_lines = g_r.mixed_block ? band_l[8] : 0;
+    int long_lines = g_r.mixed_block ? band_l[g_r.mixed_long_end()] : 0;
     int sfb0 = g_r.mixed_block ? 3 : 0;
     struct Span {
       int lo, hi, sfb, w;
@@ -514,11 +655,11 @@ void stereo_process(double xr_l[576], double xr_r[576], const Granule& g_r,
 
 // -------------------------------------------------- reorder / alias / imdct
 
-void reorder_short(const Granule& g, int sri, double xr[576]) {
+void reorder_short(const Granule& g, const Header& hdr, double xr[576]) {
   if (!g.is_short()) return;
-  const int16_t* band_s = akx_mp3::kSfbShort[sri];
-  const int16_t* band_l = akx_mp3::kSfbLong[sri];
-  int pos = g.mixed_block ? band_l[8] : 0;
+  const int16_t* band_s = hdr.band_s;
+  const int16_t* band_l = hdr.band_l;
+  int pos = g.mixed_block ? band_l[g.mixed_long_end()] : 0;
   int sfb0 = g.mixed_block ? 3 : 0;
   double tmp[576];
   for (int sfb = sfb0; sfb < 13; ++sfb) {
@@ -628,12 +769,14 @@ struct Decoder {
     std::memset(overlap, 0, sizeof(overlap));
   }
 
-  // appends 1152 channel-0 samples to out; mirrors
-  // data/mp3.py::Mp3Decoder.decode_frame
+  // appends hdr.samples channel-0 samples to out; mirrors
+  // data/mp3.py::Mp3Decoder.decode_frame (LSF: one granule, 9/17-byte
+  // side info)
   bool decode_frame(const Header& hdr, const uint8_t* frame, size_t flen,
                     std::vector<float>* out, std::string* err) {
     size_t off = 4 + (hdr.crc ? 2 : 0);
-    size_t side_len = nch == 1 ? 17 : 32;
+    size_t side_len = hdr.lsf ? (nch == 1 ? 9 : 17) : (nch == 1 ? 17 : 32);
+    int n_gr = hdr.lsf ? 1 : 2;
     if (off + side_len > flen) {
       err->assign("truncated side info");
       return false;
@@ -641,14 +784,15 @@ struct Decoder {
     Bits sbits{frame + off, side_len, 0};
     int main_data_begin, scfsi[2][4];
     Granule g[2][2];
-    if (!read_side_info(&sbits, nch, &main_data_begin, scfsi, g, err))
+    if (!read_side_info(&sbits, nch, hdr.lsf, &main_data_begin, scfsi, g,
+                        err))
       return false;
     const uint8_t* main = frame + off + side_len;
     size_t main_len = flen - off - side_len;
     if ((size_t)main_data_begin > reservoir.size()) {
       // not enough reservoir (stream start / cut): frame unusable
       append_reservoir(main, main_len);
-      out->insert(out->end(), 1152, 0.0f);
+      out->insert(out->end(), (size_t)hdr.samples, 0.0f);
       return true;
     }
     std::vector<uint8_t> data(
@@ -658,24 +802,31 @@ struct Decoder {
 
     Bits bits{data.data(), data.size(), 0};
     const Granule* prev[2] = {nullptr, nullptr};
+    bool intensity = hdr.mode == 1 && (hdr.mode_ext & 1);
     double xr[2][576];
     float pcm_block[32];
     size_t base = out->size();
-    out->resize(base + 1152);
-    for (int gr = 0; gr < 2; ++gr) {
+    out->resize(base + (size_t)hdr.samples);
+    for (int gr = 0; gr < n_gr; ++gr) {
       for (int ch = 0; ch < nch; ++ch) {
         Granule& x = g[gr][ch];
-        int part2 = read_scalefactors(&bits, &x, gr, scfsi[ch], prev[ch]);
+        int part2 =
+            hdr.lsf
+                ? read_scalefactors_lsf(&bits, &x, intensity && ch == 1)
+                : read_scalefactors(&bits, &x, gr, scfsi[ch], prev[ch]);
+        if (part2 < 0) {
+          err->assign("intensity scalefac_compress out of range");
+          return false;
+        }
         prev[ch] = &x;
         int32_t is[576];
         size_t end = bits.pos - part2 + x.part2_3_length;
-        read_huffman(&bits, x, hdr.sr_index, end, is);
-        requantize(x, is, hdr.sr_index, xr[ch]);
+        read_huffman(&bits, x, hdr, end, is);
+        requantize(x, is, hdr, xr[ch]);
       }
-      if (nch == 2)
-        stereo_process(xr[0], xr[1], g[gr][1], hdr, hdr.sr_index);
+      if (nch == 2) stereo_process(xr[0], xr[1], g[gr][1], hdr);
       for (int ch = 0; ch < nch; ++ch) {
-        reorder_short(g[gr][ch], hdr.sr_index, xr[ch]);
+        reorder_short(g[gr][ch], hdr, xr[ch]);
         alias_reduce(g[gr][ch], xr[ch]);
         double sbs[18][32];
         imdct_granule(g[gr][ch], xr[ch], overlap[ch], sbs);
@@ -710,11 +861,9 @@ bool decode_mp3_buffer(const uint8_t* buf, size_t len, Decoded* out) {
   Decoder* dec = nullptr;
   Decoder storage(1);
   bool have = false;
-  bool saw_lsf = false;
   while (off + 4 <= len) {
     Header hdr;
     if (!hdr.parse(buf, len, off)) {
-      saw_lsf = saw_lsf || hdr.lsf;
       ++off;
       continue;
     }
@@ -744,10 +893,7 @@ bool decode_mp3_buffer(const uint8_t* buf, size_t len, Decoded* out) {
     off = nxt;
   }
   if (!have) {
-    out->error = saw_lsf
-                     ? "MPEG-2/2.5 (LSF) stream: only MPEG-1 Layer III is "
-                       "supported natively; transcode this file"
-                     : "no MPEG-1 Layer III frames found";
+    out->error = "no Layer III frames found";
     return false;
   }
   return true;

@@ -453,12 +453,16 @@ def test_native_bitexact_vs_python():
             nat, py_pcm[:, 0].astype(np.float32), err_msg=name)
 
 
-def test_native_lsf_reports_mpeg2():
+def test_native_lone_headers_no_frame_raises():
+    # same stream as test_lone_headers_no_frame_raises: valid LSF headers
+    # whose frame_bytes never chain to the next sync — the native resync
+    # scan must reject them too (LSF itself decodes natively now; see
+    # tests/test_mp3_lsf.py::test_native_lsf_bitexact_vs_python)
     lib = _load_native()
     if lib is None:
         pytest.skip("native library unavailable")
     hdr = bytes([0xFF, 0xF2, 0x90, 0x00]) + bytes(400)
-    with pytest.raises(Mp3Error, match="MPEG-2"):
+    with pytest.raises(Mp3Error, match="no Layer III"):
         _native_decode(lib, hdr * 3)
 
 

@@ -287,6 +287,85 @@ def test_lsf_count1_and_fuzz():
         assert r < 1e-5, (trial, sr, r)
 
 
+# ----------------------------------------------------- native fast path
+
+
+def _lsf_surface_streams():
+    """Representative LSF streams across the format surface (seeded)."""
+    rng = np.random.default_rng(77)
+    out = {}
+    for sr in ALL_LSF_RATES:
+        sfc = 150
+        g = B.Granule(big_values=60, big_pairs=_pairs(rng, 60, 7),
+                      table_select=(10, 10, 10), scalefac_compress=sfc,
+                      scalefacs=_sf_lsf(rng, sfc), global_gain=200)
+        out[f"sr{sr}"] = B.build_stream(
+            [B.build_frame_lsf(g, sr=sr)] * 3)
+    for sr in (22050, 8000):
+        sfc = 210
+        sho = B.Granule(big_values=40, big_pairs=_pairs(rng, 40, 7),
+                        window_switching=True, block_type=2,
+                        table_select=(10, 10, 10), scalefac_compress=sfc,
+                        scalefacs=_sf_lsf(rng, sfc, short=True),
+                        subblock_gain=(1, 0, 2), global_gain=200)
+        mix = B.Granule(big_values=40, big_pairs=_pairs(rng, 40, 7),
+                        window_switching=True, block_type=2,
+                        mixed_block=True, table_select=(10, 10, 10),
+                        scalefac_compress=sfc,
+                        scalefacs=_sf_lsf(rng, sfc, short=True, mixed=True),
+                        subblock_gain=(0, 1, 0), global_gain=200)
+        out[f"short+mixed@{sr}"] = B.build_stream(
+            [B.build_frame_lsf(sho, sr=sr), B.build_frame_lsf(mix, sr=sr)])
+    gl = B.Granule(big_values=30, big_pairs=_pairs(rng, 30, 7),
+                   table_select=(10, 10, 10), scalefac_compress=23,
+                   scalefacs=_sf_lsf(rng, 23), global_gain=195)
+    for name, mode, ext, sfc_r in (("stereo", "stereo", 0, 23),
+                                   ("ms", "joint", 2, 23),
+                                   ("int-even", "joint", 1, 360),
+                                   ("ms+int-odd", "joint", 3, 363)):
+        intensity = ext & 1
+        nr = 10 if intensity else 30
+        gr = B.Granule(big_values=nr, big_pairs=_pairs(rng, nr, 7),
+                       table_select=(10, 10, 10), scalefac_compress=sfc_r,
+                       scalefacs=_sf_lsf(rng, sfc_r,
+                                         intensity=bool(intensity)),
+                       global_gain=195)
+        out[name] = B.build_stream(
+            [B.build_frame_lsf([gl, gr], mode=mode, mode_ext=ext)] * 3)
+    # 8-bit reservoir
+    g2 = B.Granule(big_values=30, big_pairs=_pairs(rng, 30, 7),
+                   table_select=(13, 13, 13), global_gain=190)
+    sfb, _ = B._scalefac_bits_lsf(g2, False)
+    hb = B._encode_values(g2, 22050)
+    bits = B.Bits()
+    bits.put_str(sfb + hb)
+    res = bits.tobytes()
+    g1 = B.Granule(big_values=30, big_pairs=_pairs(rng, 30, 7),
+                   table_select=(10, 10, 10), global_gain=195)
+    f1 = bytearray(B.build_frame_lsf(g1))
+    f1[len(f1) - len(res):] = res
+    f2 = bytearray(B.build_frame_lsf(g2, main_data_begin=len(res)))
+    f2[4 + 9:] = bytes(len(f2) - 4 - 9)
+    out["reservoir"] = B.build_stream(
+        [bytes(f1), bytes(f2), B.build_frame_lsf(g1)])
+    return out
+
+
+def test_native_lsf_bitexact_vs_python():
+    """The C++ fast path must match data/mp3.py EXACTLY on the LSF
+    surface too (same double math, same operation order)."""
+    from test_mp3 import _load_native, _native_decode
+    lib = _load_native()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    for name, data in _lsf_surface_streams().items():
+        py_pcm, py_sr = decode_mp3_bytes(data)
+        nat, nat_sr = _native_decode(lib, data)
+        assert nat_sr == py_sr, name
+        np.testing.assert_array_equal(
+            nat, py_pcm[:, 0].astype(np.float32), err_msg=name)
+
+
 # ---------------------------------------------------- non-oracle gates
 
 
