@@ -79,14 +79,16 @@ def packed(x, wp, r):
 
 
 def wall(fn, *args):
+    """fn must return a SCALAR — keeping full conv outputs (3.5 GB each
+    at B=512 f32) in flight across REPS dispatches OOMs the 16 GB HBM."""
     t0 = time.time()
     out = fn(*args)
-    float(out.sum())
+    float(out)
     compile_s = time.time() - t0
     t0 = time.perf_counter()
     outs = [fn(*args) for _ in range(REPS)]
     for o in outs:
-        float(o.sum())
+        float(o)
     return (time.perf_counter() - t0) / REPS * 1e3, compile_s
 
 
@@ -94,7 +96,7 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev.device_kind} ({dev.platform})", flush=True)
     rng = np.random.default_rng(0)
-    # NOTE: the exactness gate runs on CPU (tests/test_model.py pins it);
+    # NOTE: the exactness gate runs on CPU (tests/test_conv_pack.py);
     # eager TPU ops through the relay each remote-compile — do not add an
     # un-jitted parity phase here.
 
@@ -103,12 +105,15 @@ def main():
         x = jnp.asarray(rng.standard_normal((B, H, T, 8)), dt)
         w = jnp.asarray(rng.standard_normal((K, K, 8, 8)) * 0.05, dt)
         flops = 2 * B * H * T * K * K * 8 * 8
-        ms, cs = wall(jax.jit(baseline), x, w)
+        ms, cs = wall(
+            jax.jit(lambda a, b: baseline(a, b).astype(jnp.float32).sum()),
+            x, w)
         print(f"[{name}] baseline (7,7)x8->8: {ms:7.2f} ms "
               f"{flops / ms / 1e9:6.1f} TF/s (compile {cs:.0f}s)", flush=True)
         for r in (4, 8, 16):
             wp = jnp.asarray(pack_kernel(np.asarray(w, np.float32), r), dt)
-            fn = jax.jit(lambda a, b, _r=r: packed(a, b, _r))
+            fn = jax.jit(lambda a, b, _r=r:
+                         packed(a, b, _r).astype(jnp.float32).sum())
             ms, cs = wall(fn, x, wp)
             eff_flops = 2 * B * (H // r) * T * 3 * K * (r * 8) * (r * 8)
             print(f"[{name}] packed r={r:2d}: {ms:7.2f} ms "
