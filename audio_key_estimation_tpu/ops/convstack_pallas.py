@@ -1,0 +1,227 @@
+"""Fused Pallas serving path for the Pitch2Pitch ConvStack (round-5).
+
+Motivation (PERFNOTES round-10): at serving batch the model stage is
+memory-pipeline-bound, and its FLOPs live almost entirely in the
+layer-1 p2p ConvStack — three (7,7) circular convs at
+(B=512, H=288, T=601, C<=8) whose 8 output channels leave the MXU grid
+nearly idle under any XLA formulation. This kernel computes one
+conv + folded-BatchNorm affine + leaky-relu layer per pallas_call in
+the TRANSPOSED (H, T, C, B) layout (the same physical order XLA already
+picks — batch fills the 128-lane dim, channels the 8 sublanes):
+
+ * the (7,7) x ci -> 8 conv becomes, per (4-row, 4-col) output block,
+   ONE MXU matmul (128, K') @ (K', 128-lane batch): M = 4*4*8 = 128
+   output rows, K' = 10*10*ci input window — a 2-D block-Toeplitz
+   zero-stuffed weight (`pack_dense_w`). FLOP inflation (10*10)/(7*7)
+   = 2.04x buys a FULL MXU grid (vs 8/128 rows direct).
+ * the input slab (10 rows x chunk+6 cols x ci x 128 lanes) is one
+   double-buffered DMA per grid step; the (10,10,ci,128) -> (K',128)
+   patch view is a free sublane fold (channels are the sublane dim).
+ * eval-mode BatchNorm folds into the weights host-side
+   (`fold_convstack_params`); leaky-relu runs in the f32 epilogue.
+
+Parity: tests/test_convstack_pallas.py pins the fused path against
+blocks.ConvStack (flax, eval mode) in interpret mode. The reference has
+no counterpart (torch Sequential of Conv2d/BN, reference models.py:
+205-243); this is the TPU-native serving formulation of the same math.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LEAKY_SLOPE = 0.01          # blocks.LEAKY_SLOPE
+_H2, _T2 = 4, 4             # output block (rows, cols) per matmul
+_CO = 8                     # supported output channels (flagship stacks)
+_LANES = 128
+
+
+def fold_bn_affine(gamma, beta, mean, var, eps=1e-5):
+    """Eval BatchNorm as per-channel (scale, shift)."""
+    s = gamma / np.sqrt(var + eps)
+    return s, beta - mean * s
+
+
+def pack_dense_w(w, bias, scale=None, shift=None):
+    """(7,7,ci,8) conv kernel (+bias, + optional BN affine) -> the
+    (128, 100*ci) block-Toeplitz dense weight + (128, 1) bias.
+
+    Row m = (ih*_T2 + jt)*_CO + co computes output (h0+ih, t0+jt, co);
+    column p = ((ih+dh)*10 + (jt+dt))*ci + c reads slab row ih+dh, col
+    jt+dt, channel c of the (10, 10, ci) input window.
+    """
+    kh, kw, ci, co = w.shape
+    if (kh, kw, co) != (7, 7, _CO):
+        raise ValueError(f"unsupported kernel {w.shape}")
+    w = np.asarray(w, np.float32)
+    bias = np.asarray(bias, np.float32)
+    if scale is not None:
+        w = w * np.asarray(scale, np.float32)
+        bias = bias * np.asarray(scale, np.float32) \
+            + np.asarray(shift, np.float32)
+    hh, tt = _H2 + kh - 1, _T2 + kw - 1                  # 10, 10
+    out = np.zeros((_H2 * _T2 * _CO, hh * tt * ci), np.float32)
+    for ih in range(_H2):
+        for jt in range(_T2):
+            for dh in range(kh):
+                for dt in range(kw):
+                    r0 = (ih * _T2 + jt) * _CO
+                    p0 = ((ih + dh) * tt + (jt + dt)) * ci
+                    out[r0:r0 + _CO, p0:p0 + ci] = w[dh, dt].T
+    b128 = np.repeat(bias[None, :], _H2 * _T2, 0).reshape(-1, 1)
+    return out, b128.astype(np.float32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "interpret"))
+def _conv7_layer(xp, w_dense, b128, *, chunk: int, interpret: bool = False):
+    """One folded conv+affine+leaky layer.
+
+    xp      : (Hp, Tp, ci, B) bf16 — circularly PRE-PADDED by 3 on both
+              spatial dims and right-padded so (Tp - 6) % chunk == 0 and
+              (Hp - 6) % _H2 == 0.
+    w_dense : (128, 100*ci) bf16     b128 : (128, 1) f32
+    returns : (Hp-6, Tp-6, 8, B) bf16 (right-pad columns included).
+    """
+    Hp, Tp, ci, B = xp.shape
+    H, T = Hp - 6, Tp - 6
+    if H % _H2 or T % chunk or chunk % _T2 or B % _LANES:
+        raise ValueError(f"geometry {xp.shape} chunk={chunk}")
+    nb, nh, nc = B // _LANES, H // _H2, T // chunk
+    nj = chunk // _T2
+    kdt = xp.dtype
+    slab_t = chunk + 6
+
+    total = nb * nh * nc
+
+    def kernel(xp_ref, w_ref, b_ref, out_ref, slab, sems):
+        b, i, c = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        step = (b * nh + i) * nc + c          # c is the innermost grid dim
+
+        def copy(bi, ii, ci_, slot):
+            return pltpu.make_async_copy(
+                xp_ref.at[pl.ds(ii * _H2, _H2 + 6),
+                          pl.ds(ci_ * chunk, slab_t), :,
+                          pl.ds(bi * _LANES, _LANES)],
+                slab.at[slot], sems.at[slot])
+
+        @pl.when(step == 0)
+        def _first():
+            copy(b, i, c, 0).start()
+
+        # double buffer: issue step+1's slab while computing this one
+        nxt = step + 1
+        n_b = nxt // (nh * nc)
+        n_i = (nxt // nc) % nh
+        n_c = nxt % nc
+
+        @pl.when(nxt < total)
+        def _issue():
+            copy(n_b, n_i, n_c, nxt % 2).start()
+
+        copy(b, i, c, step % 2).wait()
+        w = w_ref[:]
+        bias = b_ref[:]
+        for j in range(nj):
+            patch = slab[step % 2, :, j * _T2:j * _T2 + _T2 + 6]
+            patch = patch.reshape((_H2 + 6) * (_T2 + 6) * ci, _LANES)
+            acc = jnp.dot(w, patch, preferred_element_type=jnp.float32)
+            acc = acc + bias
+            acc = jnp.where(acc >= 0, acc, LEAKY_SLOPE * acc)
+            out_ref[:, j * _T2:j * _T2 + _T2] = \
+                acc.astype(kdt).reshape(_H2, _T2, _CO, _LANES)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb, nh, nc),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),        # xp stays in HBM
+            pl.BlockSpec((_H2 * _T2 * _CO, (_H2 + 6) * (_T2 + 6) * ci),
+                         lambda b, i, c: (0, 0)),
+            pl.BlockSpec((_H2 * _T2 * _CO, 1), lambda b, i, c: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (_H2, chunk, _CO, _LANES), lambda b, i, c: (i, c, 0, b)),
+        out_shape=jax.ShapeDtypeStruct((H, T, _CO, B), kdt),
+        scratch_shapes=[
+            pltpu.VMEM((2, _H2 + 6, slab_t, ci, _LANES), kdt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * T * B * _CO * 100 * ci,
+            bytes_accessed=int(xp.size * 2.6 * kdt.itemsize
+                               + H * T * _CO * B * kdt.itemsize),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xp, w_dense, b128)
+    return out
+
+
+def _circ_pad_ht(x, t_target):
+    """(H, T, C, B) -> (H+6, t_target+6, C, B): circular 3-pad on H and
+    T, then zero right-pad T to t_target (junk columns past T are never
+    part of any output column <= T-1... they ARE read by the last
+    chunks' windows, producing junk OUTPUT columns >= T which the caller
+    slices off)."""
+    H, T, C, B = x.shape
+    x = jnp.concatenate([x[-3:], x, x[:3]], axis=0)
+    x = jnp.concatenate([x[:, -3:], x, x[:, :3]], axis=1)
+    pad = t_target - T
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    return x
+
+
+def fused_convstack(x, layers, *, chunk: int = 152,
+                    interpret: bool = False):
+    """Serving-path ConvStack: x (B, H, T, Cin) -> (B, H, T, 8).
+
+    layers: [(w (7,7,ci,8), bias (8,), bn_scale (8,), bn_shift (8,)),...]
+    with ci == Cin for layer 0 and 8 after. Equivalent to
+    blocks.ConvStack(equivariant=False, resblock=False, denseblock=False)
+    in eval mode. B must be a multiple of 128 and H of 4.
+    """
+    B, H, T, Cin = x.shape
+    t_pad = -(-T // chunk) * chunk
+    xt = x.transpose(1, 2, 3, 0).astype(jnp.bfloat16)
+    if Cin < _CO:
+        # channel sublanes must be full (the in-kernel patch fold relies
+        # on the (ci, lanes) = (8, 128) tile); zero channels are exact
+        xt = jnp.pad(xt, ((0, 0), (0, 0), (0, _CO - Cin), (0, 0)))
+    elif Cin != _CO:
+        raise ValueError(f"Cin={Cin} unsupported (<= {_CO})")
+    for li, (w, bias, s, t) in enumerate(layers):
+        w = np.asarray(w)
+        if w.shape[2] < _CO:
+            w = np.pad(w, ((0, 0), (0, 0), (0, _CO - w.shape[2]), (0, 0)))
+        wd, b128 = pack_dense_w(w, np.asarray(bias),
+                                np.asarray(s), np.asarray(t))
+        xp = _circ_pad_ht(xt[:, :T] if li else xt, t_pad)
+        xt = _conv7_layer(xp, jnp.asarray(wd, jnp.bfloat16),
+                          jnp.asarray(b128), chunk=chunk,
+                          interpret=interpret)
+    return xt[:, :T].transpose(3, 0, 1, 2)
+
+
+def fold_convstack_params(params, batch_stats, conv_layers: int):
+    """Extract [(w, bias, scale, shift)] from a flax ConvStack's
+    variables (plain path: conv seq_{3i} + BatchNorm seq_{3i+1})."""
+    out = []
+    for i in range(conv_layers):
+        conv = params[f"seq_{3 * i}"]
+        bn = params[f"seq_{3 * i + 1}"]["bn"]
+        st = batch_stats[f"seq_{3 * i + 1}"]["bn"]
+        s, t = fold_bn_affine(np.asarray(bn["scale"]),
+                              np.asarray(bn["bias"]),
+                              np.asarray(st["mean"]),
+                              np.asarray(st["var"]))
+        out.append((np.asarray(conv["kernel"]),
+                    np.asarray(conv["bias"]), s, t))
+    return out
