@@ -96,6 +96,13 @@ class Config:
     # traffic at <0.2% relative feature error (the TPU MXU decomposes f32
     # convs to bf16 operands anyway); float32 is the oracle-pinned path.
     cqt_conv_dtype: str = "bfloat16"  # bfloat16 | float32
+    # Eval-only fused Pallas serving kernel for plain Pitch2Pitch
+    # ConvStacks (ops/convstack_pallas.py): folds conv+BN+leaky into one
+    # MXU-matmul-per-block kernel with bf16 streams. Engages only at
+    # supported geometry (B%128==0, H%4==0, kernel 7, widths <= 8) in
+    # eval mode; training and init always run the plain XLA path, so
+    # checkpoints are identical either way. Serving/bench knob.
+    fused_convstack: bool = False
     data_root: str = "../Data"
     log_dir: str = "Model_logs"
 
@@ -168,7 +175,7 @@ class Config:
 RUNTIME_FIELDS = frozenset({
     "data_root", "log_dir", "batch_size", "no_test", "debug",
     "bucket_sizes", "mesh_shape", "mesh_axes", "use_pallas_cqt",
-    "cqt_conv_dtype", "dtype", "remat", "no_ckpt", "epochs",
+    "cqt_conv_dtype", "dtype", "remat", "fused_convstack", "no_ckpt", "epochs",
     "early_stop_patience", "seed",
 })
 

@@ -256,6 +256,7 @@ class ConvStack(nn.Module):
     denseblock: bool = False
     multi_path: bool = False
     drop_rate: float = 0.0
+    fused_serving: bool = False
     dtype: Any = jnp.float32
 
     def _conv(self, i, cin, cout):
@@ -283,6 +284,8 @@ class ConvStack(nn.Module):
                               multi_path=self.multi_path,
                               drop_rate=self.drop_rate, dtype=self.dtype,
                               name="seq_0")(x, train)
+        if self._use_fused(x.shape, train):
+            return self._fused_apply(x)
         idx = 0
         for i in range(self.conv_layers):
             cin = self.in_ch if i == 0 else self.out_ch
@@ -292,6 +295,38 @@ class ConvStack(nn.Module):
             x = leaky_relu(x)
             idx += 3
         return x
+
+    # ---- fused Pallas serving path (ops/convstack_pallas.py) ----
+
+    def _use_fused(self, shape, train: bool) -> bool:
+        """Eval-only dispatch to the fused serving kernel: plain
+        (non-equivariant, kernel-7, 8-out) stacks at MXU-friendly
+        geometry (B%128==0, H%4==0, all widths <= 8). During init the
+        plain path runs so every checkpoint param is still created."""
+        if (not self.fused_serving or train or self.is_initializing()
+                or self.equivariant or self.resblock or self.denseblock
+                or self.kernel_size != 7 or self.out_ch != 8):
+            return False
+        from ..ops import convstack_pallas as CP
+        cins = [self.in_ch] + [self.out_ch] * (self.conv_layers - 1)
+        return CP.supported_geometry(shape, cins)
+
+    def _fused_apply(self, x):
+        """Fold each conv+BN pair from this stack's own (possibly traced)
+        checkpoint params and run the fused kernel. Off-TPU backends run
+        the kernel in interpret mode (tests; explicit opt-in only)."""
+        from ..ops import convstack_pallas as CP
+        layers = []
+        for i in range(self.conv_layers):
+            conv = self.get_variable("params", f"seq_{3 * i}")
+            bn = self.get_variable("params", f"seq_{3 * i + 1}")["bn"]
+            st = self.get_variable("batch_stats", f"seq_{3 * i + 1}")["bn"]
+            s, t = CP.fold_bn_affine_jax(bn["scale"], bn["bias"],
+                                         st["mean"], st["var"])
+            layers.append((conv["kernel"], conv["bias"], s, t))
+        interpret = jax.default_backend() != "tpu"
+        y = CP.fused_convstack(x, layers, interpret=interpret)
+        return y.astype(self.dtype)
 
 
 class OctaveConvPool(nn.Module):

@@ -114,6 +114,7 @@ class PitchClassNetLayer(nn.Module):
         p = blocks.ConvStack(p2p_in, p2p_out, c.kernel_size, c.conv_layers,
                              equivariant=False, resblock=c.resblock,
                              denseblock=c.denseblock, drop_rate=c.drop,
+                             fused_serving=c.fused_convstack,
                              dtype=self.dtype,
                              name="p2p")(p, train)
         p_ch = p.shape[-1]

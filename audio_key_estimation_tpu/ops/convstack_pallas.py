@@ -164,6 +164,47 @@ def _conv7_layer(xp, w_dense, b128, *, chunk: int, interpret: bool = False):
     return out
 
 
+def pack_dense_w_jax(w, bias, scale=None, shift=None):
+    """Traceable `pack_dense_w`: same (128, 100*ci) block-Toeplitz dense
+    weight + (128, 1) bias, built from jnp ops so it can run INSIDE a
+    jitted model apply (the flax serving gate folds live checkpoint
+    params; see blocks.ConvStack). Row/col layout identical to
+    `pack_dense_w` (pinned exactly by tests/test_convstack_pallas.py).
+    """
+    kh, kw, ci, co = w.shape
+    if (kh, kw, co) != (7, 7, _CO):
+        raise ValueError(f"unsupported kernel {w.shape}")
+    w = jnp.asarray(w, jnp.float32)
+    bias = jnp.asarray(bias, jnp.float32)
+    if scale is not None:
+        scale = jnp.asarray(scale, jnp.float32)
+        w = w * scale
+        bias = bias * scale + jnp.asarray(shift, jnp.float32)
+    hh, tt = _H2 + kh - 1, _T2 + kw - 1                  # 10, 10
+    wp = jnp.pad(w, ((0, hh - kh), (0, tt - kw), (0, 0), (0, 0)))
+    dh = jnp.arange(hh)[None, :] - jnp.arange(_H2)[:, None]   # (4, 10)
+    dt = jnp.arange(tt)[None, :] - jnp.arange(_T2)[:, None]   # (4, 10)
+    vh = (dh >= 0) & (dh < kh)
+    vt = (dt >= 0) & (dt < kw)
+    # g[ih, ph, jt, pt, c, co] = wp[ph - ih, pt - jt, c, co] (masked)
+    g = wp[dh.clip(0, hh - 1)][:, :, dt.clip(0, tt - 1)]
+    g = g * (vh[:, :, None, None, None, None]
+             & vt[None, None, :, :, None, None])
+    # rows ordered (ih, jt, co); cols ordered (ph, pt, c)
+    out = g.transpose(0, 2, 5, 1, 3, 4).reshape(_H2 * _T2 * _CO,
+                                                hh * tt * ci)
+    b128 = jnp.tile(bias, _H2 * _T2)[:, None]
+    return out, b128
+
+
+def fold_bn_affine_jax(gamma, beta, mean, var, eps=1e-5):
+    """Traceable `fold_bn_affine`."""
+    s = jnp.asarray(gamma, jnp.float32) \
+        / jnp.sqrt(jnp.asarray(var, jnp.float32) + eps)
+    return s, jnp.asarray(beta, jnp.float32) \
+        - jnp.asarray(mean, jnp.float32) * s
+
+
 def _circ_pad_ht(x, t_target):
     """(H, T, C, B) -> (H+6, t_target+6, C, B): circular 3-pad on H and
     T, then zero right-pad T to t_target (junk columns past T are never
@@ -179,16 +220,45 @@ def _circ_pad_ht(x, t_target):
     return x
 
 
-def fused_convstack(x, layers, *, chunk: int = 152,
+def pick_chunk(T: int, chunk: int = 152) -> int:
+    """Largest multiple-of-_T2 chunk <= `chunk` covering T with minimal
+    right-pad waste (t_pad = ceil(T/chunk)*chunk)."""
+    if T <= chunk:
+        return -(-T // _T2) * _T2
+    best, waste = chunk, None
+    for c in range(chunk, _T2 - 1, -_T2):
+        w = -(-T // c) * c - T
+        if waste is None or w < waste:
+            best, waste = c, w
+        if w == 0:
+            break
+    return best
+
+
+def supported_geometry(shape, conv_layers_cins) -> bool:
+    """True when (B, H, T, Cin) + the stack's input widths fit the fused
+    kernel's static contract (B lanes full, H row blocks full, <= 8
+    channels throughout, 8 output channels)."""
+    B, H, T, Cin = shape
+    return (B % _LANES == 0 and H % _H2 == 0 and T >= 1
+            and all(ci <= _CO for ci in conv_layers_cins)
+            and Cin == conv_layers_cins[0])
+
+
+def fused_convstack(x, layers, *, chunk: int = None,
                     interpret: bool = False):
     """Serving-path ConvStack: x (B, H, T, Cin) -> (B, H, T, 8).
 
     layers: [(w (7,7,ci,8), bias (8,), bn_scale (8,), bn_shift (8,)),...]
     with ci == Cin for layer 0 and 8 after. Equivalent to
     blocks.ConvStack(equivariant=False, resblock=False, denseblock=False)
-    in eval mode. B must be a multiple of 128 and H of 4.
+    in eval mode. B must be a multiple of 128 and H of 4. Fully
+    traceable: layer params may be live jnp tracers (the flax serving
+    gate calls this inside a jitted apply).
     """
     B, H, T, Cin = x.shape
+    if chunk is None:
+        chunk = pick_chunk(T)
     t_pad = -(-T // chunk) * chunk
     xt = x.transpose(1, 2, 3, 0).astype(jnp.bfloat16)
     if Cin < _CO:
@@ -198,14 +268,13 @@ def fused_convstack(x, layers, *, chunk: int = 152,
     elif Cin != _CO:
         raise ValueError(f"Cin={Cin} unsupported (<= {_CO})")
     for li, (w, bias, s, t) in enumerate(layers):
-        w = np.asarray(w)
+        w = jnp.asarray(w)
         if w.shape[2] < _CO:
-            w = np.pad(w, ((0, 0), (0, 0), (0, _CO - w.shape[2]), (0, 0)))
-        wd, b128 = pack_dense_w(w, np.asarray(bias),
-                                np.asarray(s), np.asarray(t))
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, _CO - w.shape[2]), (0, 0)))
+        wd, b128 = pack_dense_w_jax(w, bias, s, t)
         xp = _circ_pad_ht(xt[:, :T] if li else xt, t_pad)
-        xt = _conv7_layer(xp, jnp.asarray(wd, jnp.bfloat16),
-                          jnp.asarray(b128), chunk=chunk,
+        xt = _conv7_layer(xp, wd.astype(jnp.bfloat16),
+                          b128, chunk=chunk,
                           interpret=interpret)
     return xt[:, :T].transpose(3, 0, 1, 2)
 

@@ -103,6 +103,107 @@ def test_fused_stack_matches_flax(cin, T, chunk):
     assert mean_rel < 1e-2, mean_rel
 
 
+def test_pack_dense_w_jax_matches_numpy():
+    """The traceable packer must agree with the numpy packer EXACTLY
+    (same f32 arithmetic, just gather-built) — it is what the flax
+    serving gate runs inside jit on live checkpoint params."""
+    rng = np.random.default_rng(11)
+    for ci in (5, 8):
+        w = rng.standard_normal((7, 7, ci, 8)).astype(np.float32)
+        b = rng.standard_normal(8).astype(np.float32)
+        s = 1 + 0.1 * rng.standard_normal(8).astype(np.float32)
+        t = 0.1 * rng.standard_normal(8).astype(np.float32)
+        wd_np, b_np = CP.pack_dense_w(w, b, s, t)
+        wd_jx, b_jx = CP.pack_dense_w_jax(jnp.asarray(w), jnp.asarray(b),
+                                          jnp.asarray(s), jnp.asarray(t))
+        np.testing.assert_array_equal(wd_np, np.asarray(wd_jx))
+        np.testing.assert_array_equal(b_np, np.asarray(b_jx))
+        # no-affine variant
+        wd_np, b_np = CP.pack_dense_w(w, b)
+        wd_jx, b_jx = CP.pack_dense_w_jax(jnp.asarray(w), jnp.asarray(b))
+        np.testing.assert_array_equal(wd_np, np.asarray(wd_jx))
+        np.testing.assert_array_equal(b_np, np.asarray(b_jx))
+
+
+def test_pick_chunk_properties():
+    for T in (1, 4, 16, 151, 152, 153, 300, 601, 1024, 2048):
+        c = CP.pick_chunk(T)
+        assert c % 4 == 0 and c >= 4
+        t_pad = -(-T // c) * c
+        assert t_pad >= T
+        # waste bounded: never worse than the naive ceil-to-152 plan
+        naive = -(-T // 152) * 152 if T > 152 else -(-T // 4) * 4
+        assert t_pad <= naive
+
+
+def test_model_gate_fused_matches_plain(monkeypatch):
+    """End-to-end: PitchClassNet with cfg.fused_convstack=True takes the
+    fused path for the layer-1 p2p stack (asserted via a call counter)
+    and matches the plain model's outputs to bf16-stream tolerance."""
+    from audio_key_estimation_tpu.config import Config
+    from audio_key_estimation_tpu.models import PitchClassNet
+
+    calls = {"n": 0}
+    orig = CP.fused_convstack
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(CP, "fused_convstack", counting)
+
+    cfg = Config(octaves=2, only_semitones=True, n_filters=4,
+                 conv_layers=3, num_layers=2, kernel_size=7,
+                 head_layers=2, fused_convstack=True)
+    B, T = 128, 64
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(rng.standard_normal((B, cfg.pitches, T, 1)),
+                      jnp.float32)
+    seq = jnp.full((B,), T, jnp.int32)
+
+    model = PitchClassNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), mel[:1], seq[:1], False)
+    assert calls["n"] == 0, "init must run the plain path (param creation)"
+
+    key_f, tonic_f = model.apply(variables, mel, seq, False)
+    assert calls["n"] == 1, "eval apply must dispatch the fused kernel"
+
+    plain = PitchClassNet(cfg.replace(fused_convstack=False))
+    key_p, tonic_p = plain.apply(variables, mel, seq, False)
+
+    key_f, key_p = np.asarray(key_f), np.asarray(key_p)
+    tonic_f, tonic_p = np.asarray(tonic_f), np.asarray(tonic_p)
+    assert np.abs(key_f - key_p).max() < 3e-2
+    rel = np.abs(tonic_f - tonic_p).max() / np.abs(tonic_p).max()
+    assert rel < 3e-2, rel
+
+
+def test_model_gate_falls_back_off_geometry(monkeypatch):
+    """B not a lane multiple -> plain path even with the flag on."""
+    from audio_key_estimation_tpu.config import Config
+    from audio_key_estimation_tpu.models import PitchClassNet
+
+    calls = {"n": 0}
+    orig = CP.fused_convstack
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(CP, "fused_convstack", counting)
+    cfg = Config(octaves=2, only_semitones=True, n_filters=4,
+                 conv_layers=3, num_layers=2, kernel_size=7,
+                 head_layers=2, fused_convstack=True)
+    rng = np.random.default_rng(6)
+    mel = jnp.asarray(rng.standard_normal((4, cfg.pitches, 64, 1)),
+                      jnp.float32)
+    seq = jnp.full((4,), 64, jnp.int32)
+    model = PitchClassNet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), mel, seq, False)
+    model.apply(variables, mel, seq, False)
+    assert calls["n"] == 0
+
+
 def test_fold_convstack_params_roundtrip():
     rng = np.random.default_rng(3)
     B, H, T, cin = 128, 8, 16, 8
