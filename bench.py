@@ -263,6 +263,13 @@ def time_fn(fn, *args, reps=REPS):
 
 def main():
     cfg = Config()
+    # fused Pallas serving kernel for the layer-1 p2p ConvStack (eval-only
+    # dispatch, ops/convstack_pallas.py): default-on where it can run —
+    # real TPU at lane-multiple batch. AKX_BENCH_NO_FUSED=1 pins the
+    # plain XLA model path; either way the model delta is measured below.
+    use_fused = (not os.environ.get("AKX_BENCH_NO_FUSED")
+                 and jax.devices()[0].platform == "tpu")
+    cfg = cfg.replace(fused_convstack=use_fused)
     hop = reference_hop(SR, cfg.frames)
     params = CQTParams(sr=SR, hop=hop, bins_per_octave=cfg.bins_per_octave,
                        octaves=cfg.octaves)
@@ -412,7 +419,23 @@ def main():
 
     stages["model_ms_per_audio_min"] = round(dt_model / audio_minutes * 1e3, 3)
     stages["pipeline_ms_per_audio_min"] = round(dt / audio_minutes * 1e3, 3)
-    log(f"model alone: {dt_model * 1e3:.1f} ms/step")
+    log(f"model alone (fused_convstack={cfg.fused_convstack}): "
+        f"{dt_model * 1e3:.1f} ms/step")
+    report["fused_convstack"] = cfg.fused_convstack
+    if cfg.fused_convstack:
+        # plain-XLA model at the same geometry: the fused kernel's margin,
+        # embedded so a regression in EITHER path is visible in the JSON
+        try:
+            plain = PitchClassNet(cfg.replace(fused_convstack=False))
+            plain_only = jax.jit(lambda m, s: _reduce(plain.apply(
+                variables, m, s, False)))
+            dt_plain, _ = time_fn(plain_only, mels, seq[:n_clips])
+            stages["model_plain_ms_per_audio_min"] = round(
+                dt_plain / audio_minutes * 1e3, 3)
+            log(f"model alone (plain XLA): {dt_plain * 1e3:.1f} ms/step "
+                f"({(dt_plain / dt_model - 1) * 100:+.1f}% vs fused)")
+        except Exception as e:
+            log(f"plain-model delta failed: {e!r}")
 
     end_to_end = min(decode_tp, tpu_throughput)
     stages["end_to_end_audio_min_per_s"] = round(end_to_end, 1)
