@@ -6,17 +6,22 @@ layer-1 p2p ConvStack — three (7,7) circular convs at
 (B=512, H=288, T=601, C<=8) whose 8 output channels leave the MXU grid
 nearly idle under any XLA formulation. This kernel computes one
 conv + folded-BatchNorm affine + leaky-relu layer per pallas_call in
-the TRANSPOSED (H, T, C, B) layout (the same physical order XLA already
-picks — batch fills the 128-lane dim, channels the 8 sublanes):
+the TRANSPOSED, TIME-MAJOR (T, H, C, B) layout (batch fills the lane
+dim, channels the 8 sublanes):
 
  * the (7,7) x ci -> 8 conv becomes, per (4-row, 4-col) output block,
-   ONE MXU matmul (128, K') @ (K', 128-lane batch): M = 4*4*8 = 128
-   output rows, K' = 10*10*ci input window — a 2-D block-Toeplitz
-   zero-stuffed weight (`pack_dense_w`). FLOP inflation (10*10)/(7*7)
-   = 2.04x buys a FULL MXU grid (vs 8/128 rows direct).
- * the input slab (10 rows x chunk+6 cols x ci x 128 lanes) is one
-   double-buffered DMA per grid step; the (10,10,ci,128) -> (K',128)
-   patch view is a free sublane fold (channels are the sublane dim).
+   ONE MXU matmul (128, K') @ (K', B): M = 4*4*8 = 128 output rows,
+   K' = 10*10*ci input window — a 2-D block-Toeplitz zero-stuffed
+   weight (`pack_dense_w`). FLOP inflation (10*10)/(7*7) = 2.04x buys
+   a FULL MXU grid (vs 8/128 rows direct).
+ * the input slab ((chunk+6) t-cols x 10 h-rows x ci x B lanes) is one
+   double-buffered DMA per grid step. TIME-major matters: the patch
+   window slices the slab on its LEADING (untiled) dim, so the
+   (10, 10, ci, B) -> (K', B) reshape is a pure reinterpretation of
+   contiguous (ci, B) VMEM tiles. Earlier cuts sliced the window on a
+   minor dim, and Mosaic materialized an ~800 KB re-tiling copy PER
+   DOT — which capped every variant at ~29 TF/s true (57-61 ms/stack)
+   regardless of chunk size, DMA burst size, or dot width.
  * eval-mode BatchNorm folds into the weights host-side
    (`fold_convstack_params`); leaky-relu runs in the f32 epilogue.
 
@@ -52,9 +57,10 @@ def pack_dense_w(w, bias, scale=None, shift=None):
     """(7,7,ci,8) conv kernel (+bias, + optional BN affine) -> the
     (128, 100*ci) block-Toeplitz dense weight + (128, 1) bias.
 
-    Row m = (ih*_T2 + jt)*_CO + co computes output (h0+ih, t0+jt, co);
-    column p = ((ih+dh)*10 + (jt+dt))*ci + c reads slab row ih+dh, col
-    jt+dt, channel c of the (10, 10, ci) input window.
+    TIME-MAJOR orders (matching the free (T2+6, H2+6, ci, B) patch
+    reinterpretation): row m = (jt*_H2 + ih)*_CO + co computes output
+    (t0+jt, h0+ih, co); column p = ((jt+dt)*10 + (ih+dh))*ci + c reads
+    patch t-col jt+dt, h-row ih+dh, channel c.
     """
     kh, kw, ci, co = w.shape
     if (kh, kw, co) != (7, 7, _CO):
@@ -71,8 +77,8 @@ def pack_dense_w(w, bias, scale=None, shift=None):
         for jt in range(_T2):
             for dh in range(kh):
                 for dt in range(kw):
-                    r0 = (ih * _T2 + jt) * _CO
-                    p0 = ((ih + dh) * tt + (jt + dt)) * ci
+                    r0 = (jt * _H2 + ih) * _CO
+                    p0 = ((jt + dt) * hh + (ih + dh)) * ci
                     out[r0:r0 + _CO, p0:p0 + ci] = w[dh, dt].T
     b128 = np.repeat(bias[None, :], _H2 * _T2, 0).reshape(-1, 1)
     return out, b128.astype(np.float32)
@@ -81,76 +87,77 @@ def pack_dense_w(w, bias, scale=None, shift=None):
 @functools.partial(
     jax.jit, static_argnames=("chunk", "interpret"))
 def _conv7_layer(xp, w_dense, b128, *, chunk: int, interpret: bool = False):
-    """One folded conv+affine+leaky layer.
+    """One folded conv+affine+leaky layer, time-major.
 
-    xp      : (Hp, Tp, ci, B) bf16 — circularly PRE-PADDED by 3 on both
+    xp      : (Tp, Hp, ci, B) bf16 — circularly PRE-PADDED by 3 on both
               spatial dims and right-padded so (Tp - 6) % chunk == 0 and
               (Hp - 6) % _H2 == 0.
     w_dense : (128, 100*ci) bf16     b128 : (128, 1) f32
-    returns : (Hp-6, Tp-6, 8, B) bf16 (right-pad columns included).
+    returns : (Tp-6, Hp-6, 8, B) bf16 (right-pad t-cols included).
+
+    The slab holds (chunk+6) t-cols x (_H2+6) h-rows x ci x ALL B lanes.
+    The patch window `slab[j*4 : j*4+10]` slices the LEADING (untiled)
+    dim, so its (10, 10, ci, B) -> (K', B) matrix view reinterprets
+    contiguous (ci, B) tiles — no data movement before the MXU dot.
     """
-    Hp, Tp, ci, B = xp.shape
-    H, T = Hp - 6, Tp - 6
+    Tp, Hp, ci, B = xp.shape
+    T, H = Tp - 6, Hp - 6
     if H % _H2 or T % chunk or chunk % _T2 or B % _LANES:
         raise ValueError(f"geometry {xp.shape} chunk={chunk}")
-    nb, nh, nc = B // _LANES, H // _H2, T // chunk
+    nh, nc = H // _H2, T // chunk
     nj = chunk // _T2
     kdt = xp.dtype
     slab_t = chunk + 6
 
-    total = nb * nh * nc
+    total = nh * nc
 
     def kernel(xp_ref, w_ref, b_ref, out_ref, slab, sems):
-        b, i, c = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-        step = (b * nh + i) * nc + c          # c is the innermost grid dim
+        i, c = pl.program_id(0), pl.program_id(1)
+        step = i * nc + c                     # c is the innermost grid dim
 
-        def copy(bi, ii, ci_, slot):
+        def copy(ii, ci_, slot):
             return pltpu.make_async_copy(
-                xp_ref.at[pl.ds(ii * _H2, _H2 + 6),
-                          pl.ds(ci_ * chunk, slab_t), :,
-                          pl.ds(bi * _LANES, _LANES)],
+                xp_ref.at[pl.ds(ci_ * chunk, slab_t),
+                          pl.ds(ii * _H2, _H2 + 6), :, :],
                 slab.at[slot], sems.at[slot])
 
         @pl.when(step == 0)
         def _first():
-            copy(b, i, c, 0).start()
+            copy(i, c, 0).start()
 
         # double buffer: issue step+1's slab while computing this one
         nxt = step + 1
-        n_b = nxt // (nh * nc)
-        n_i = (nxt // nc) % nh
-        n_c = nxt % nc
 
         @pl.when(nxt < total)
         def _issue():
-            copy(n_b, n_i, n_c, nxt % 2).start()
+            copy(nxt // nc, nxt % nc, nxt % 2).start()
 
-        copy(b, i, c, step % 2).wait()
+        copy(i, c, step % 2).wait()
         w = w_ref[:]
         bias = b_ref[:]
         for j in range(nj):
-            patch = slab[step % 2, :, j * _T2:j * _T2 + _T2 + 6]
-            patch = patch.reshape((_H2 + 6) * (_T2 + 6) * ci, _LANES)
+            patch = slab[step % 2, j * _T2:j * _T2 + _T2 + 6]
+            patch = patch.reshape((_H2 + 6) * (_T2 + 6) * ci, B)
             acc = jnp.dot(w, patch, preferred_element_type=jnp.float32)
             acc = acc + bias
             acc = jnp.where(acc >= 0, acc, LEAKY_SLOPE * acc)
-            out_ref[:, j * _T2:j * _T2 + _T2] = \
-                acc.astype(kdt).reshape(_H2, _T2, _CO, _LANES)
+            out_ref[j * _T2:j * _T2 + _T2] = \
+                acc.astype(kdt).reshape(_T2, _H2, _CO, B)
 
     out = pl.pallas_call(
         kernel,
-        grid=(nb, nh, nc),
+        grid=(nh, nc),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # xp stays in HBM
             pl.BlockSpec((_H2 * _T2 * _CO, (_H2 + 6) * (_T2 + 6) * ci),
-                         lambda b, i, c: (0, 0)),
-            pl.BlockSpec((_H2 * _T2 * _CO, 1), lambda b, i, c: (0, 0)),
+                         lambda i, c: (0, 0)),
+            pl.BlockSpec((_H2 * _T2 * _CO, 1), lambda i, c: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (_H2, chunk, _CO, _LANES), lambda b, i, c: (i, c, 0, b)),
-        out_shape=jax.ShapeDtypeStruct((H, T, _CO, B), kdt),
+            (chunk, _H2, _CO, B), lambda i, c: (c, i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((T, H, _CO, B), kdt),
         scratch_shapes=[
-            pltpu.VMEM((2, _H2 + 6, slab_t, ci, _LANES), kdt),
+            pltpu.VMEM((2, slab_t, _H2 + 6, ci, B), kdt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -190,8 +197,8 @@ def pack_dense_w_jax(w, bias, scale=None, shift=None):
     g = wp[dh.clip(0, hh - 1)][:, :, dt.clip(0, tt - 1)]
     g = g * (vh[:, :, None, None, None, None]
              & vt[None, None, :, :, None, None])
-    # rows ordered (ih, jt, co); cols ordered (ph, pt, c)
-    out = g.transpose(0, 2, 5, 1, 3, 4).reshape(_H2 * _T2 * _CO,
+    # time-major: rows ordered (jt, ih, co); cols ordered (pt, ph, c)
+    out = g.transpose(2, 0, 5, 3, 1, 4).reshape(_H2 * _T2 * _CO,
                                                 hh * tt * ci)
     b128 = jnp.tile(bias, _H2 * _T2)[:, None]
     return out, b128
@@ -206,32 +213,43 @@ def fold_bn_affine_jax(gamma, beta, mean, var, eps=1e-5):
 
 
 def _circ_pad_ht(x, t_target):
-    """(H, T, C, B) -> (H+6, t_target+6, C, B): circular 3-pad on H and
-    T, then zero right-pad T to t_target (junk columns past T are never
-    part of any output column <= T-1... they ARE read by the last
-    chunks' windows, producing junk OUTPUT columns >= T which the caller
-    slices off)."""
-    H, T, C, B = x.shape
-    x = jnp.concatenate([x[-3:], x, x[:3]], axis=0)
+    """(T, H, C, B) -> (t_target+6, H+6, C, B): circular 3-pad on T and
+    H, then zero right-pad T to t_target (junk t-cols past T are read
+    only by the last chunks' windows, producing junk OUTPUT t-cols >= T
+    which the caller slices off)."""
+    T, H, C, B = x.shape
     x = jnp.concatenate([x[:, -3:], x, x[:, :3]], axis=1)
+    x = jnp.concatenate([x[-3:], x, x[:3]], axis=0)
     pad = t_target - T
     if pad:
-        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0)))
     return x
 
 
-def pick_chunk(T: int, chunk: int = 152) -> int:
-    """Largest multiple-of-_T2 chunk <= `chunk` covering T with minimal
-    right-pad waste (t_pad = ceil(T/chunk)*chunk)."""
-    if T <= chunk:
+_VMEM_BUDGET = 14 * 2 ** 20   # scoped-vmem limit is 16 MiB (measured:
+                              # a 16.86M plan was rejected); leave margin
+
+
+def pick_chunk(T: int, B: int, itemsize: int = 2, cap: int = 152) -> int:
+    """Largest multiple-of-_T2 time chunk that (a) fits the VMEM budget —
+    double-buffered full-lane slab + double-buffered output block —
+    and (b) minimizes right-pad waste (t_pad = ceil(T/chunk)*chunk);
+    ties go to the largest chunk (fewest grid steps)."""
+    per_c = ((_H2 + 6) * 2 + _H2 * 2) * _CO * B * itemsize    # slab+out per col
+    fixed = (_H2 + 6) * 2 * 6 * _CO * B * itemsize            # slab halo cols
+    cmax = (_VMEM_BUDGET - fixed) // per_c // _T2 * _T2
+    cmax = min(cap, max(_T2, cmax))
+    if T <= cmax:
         return -(-T // _T2) * _T2
-    best, waste = chunk, None
-    for c in range(chunk, _T2 - 1, -_T2):
-        w = -(-T // c) * c - T
-        if waste is None or w < waste:
-            best, waste = c, w
-        if w == 0:
-            break
+    best, cost = cmax, None
+    for c in range(cmax, _T2 - 1, -_T2):
+        t_pad = -(-T // c) * c
+        # traffic objective: pad waste AND the 6-column slab halo
+        # amplification (a waste-only objective picks c=4, whose halo
+        # re-reads 2.5x the columns — measured 79.7 vs 60.9 ms)
+        k = t_pad * (c + 6) / c
+        if cost is None or k < cost:
+            best, cost = c, k
     return best
 
 
@@ -258,12 +276,12 @@ def fused_convstack(x, layers, *, chunk: int = None,
     """
     B, H, T, Cin = x.shape
     if chunk is None:
-        chunk = pick_chunk(T)
+        chunk = pick_chunk(T, B)
     t_pad = -(-T // chunk) * chunk
-    xt = x.transpose(1, 2, 3, 0).astype(jnp.bfloat16)
+    xt = x.transpose(2, 1, 3, 0).astype(jnp.bfloat16)   # (T, H, C, B)
     if Cin < _CO:
         # channel sublanes must be full (the in-kernel patch fold relies
-        # on the (ci, lanes) = (8, 128) tile); zero channels are exact
+        # on the (ci, lanes) = (8, B) tile); zero channels are exact
         xt = jnp.pad(xt, ((0, 0), (0, 0), (0, _CO - Cin), (0, 0)))
     elif Cin != _CO:
         raise ValueError(f"Cin={Cin} unsupported (<= {_CO})")
@@ -272,11 +290,11 @@ def fused_convstack(x, layers, *, chunk: int = None,
         if w.shape[2] < _CO:
             w = jnp.pad(w, ((0, 0), (0, 0), (0, _CO - w.shape[2]), (0, 0)))
         wd, b128 = pack_dense_w_jax(w, bias, s, t)
-        xp = _circ_pad_ht(xt[:, :T] if li else xt, t_pad)
+        xp = _circ_pad_ht(xt[:T] if li else xt, t_pad)
         xt = _conv7_layer(xp, wd.astype(jnp.bfloat16),
                           b128, chunk=chunk,
                           interpret=interpret)
-    return xt[:, :T].transpose(3, 0, 1, 2)
+    return xt[:T].transpose(3, 1, 0, 2)
 
 
 def fold_convstack_params(params, batch_stats, conv_layers: int):

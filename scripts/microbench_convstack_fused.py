@@ -77,6 +77,7 @@ def main():
         t = np.zeros(8, np.float32)
         layers.append((w, b, s, t))
 
+    skip_xla = bool(os.environ.get("AKX_SKIP_XLA"))
     # ---------------- XLA flax stack (eval mode, f32: the product path)
     stack = blocks.ConvStack(C, 8, 7, 3, equivariant=False)
     var = stack.init(jax.random.PRNGKey(0),
@@ -96,15 +97,18 @@ def main():
     def xla_body(a):
         return stack.apply(variables, a, False)
 
-    x = jnp.asarray(rng.standard_normal((B, H, T, C)) * 0.1, jnp.float32)
-    ms, cs = chain_wall(xla_body, x)
-    print(f"[xla f32 ] stack: {ms:7.2f} ms  "
-          f"{FLOPS_STACK / ms / 1e9:6.1f} TF/s (compile {cs:.0f}s)",
-          flush=True)
+    if not skip_xla:
+        x = jnp.asarray(rng.standard_normal((B, H, T, C)) * 0.1,
+                        jnp.float32)
+        ms, cs = chain_wall(xla_body, x)
+        print(f"[xla f32 ] stack: {ms:7.2f} ms  "
+              f"{FLOPS_STACK / ms / 1e9:6.1f} TF/s (compile {cs:.0f}s)",
+              flush=True)
 
-    xb = x.astype(jnp.bfloat16)
-    ms, cs = chain_wall(lambda a: xla_body(a).astype(jnp.bfloat16), xb)
-    print(f"[xla bf16] stack: {ms:7.2f} ms  (compile {cs:.0f}s)", flush=True)
+        xb = x.astype(jnp.bfloat16)
+        ms, cs = chain_wall(lambda a: xla_body(a).astype(jnp.bfloat16), xb)
+        print(f"[xla bf16] stack: {ms:7.2f} ms  (compile {cs:.0f}s)",
+              flush=True)
 
     # ---------------- fused Pallas stack, chained in (H, T, C, B) layout
     packed = []
@@ -112,19 +116,19 @@ def main():
         wd, b128 = CP.pack_dense_w(w, b, s, t)
         packed.append((jnp.asarray(wd, jnp.bfloat16), jnp.asarray(b128)))
 
-    for chunk in (152, 304):
+    for chunk in (CP.pick_chunk(T, B), 40):
         t_pad = -(-T // chunk) * chunk
 
         def fused_body(a, _chunk=chunk, _t_pad=t_pad):
-            # a: (H, T, C, B) bf16; apply 3 fused layers, slice to T
+            # a: (T, H, C, B) bf16; apply 3 fused layers, slice to T
             y = a
             for wd, b128 in packed:
-                yp = CP._circ_pad_ht(y[:, :T], _t_pad)
+                yp = CP._circ_pad_ht(y[:T], _t_pad)
                 y = CP._conv7_layer(yp, wd, b128, chunk=_chunk)
-            return y[:, :T]
+            return y[:T]
 
         xt = jnp.asarray(
-            rng.standard_normal((H, T, C, B)) * 0.1, jnp.bfloat16)
+            rng.standard_normal((T, H, C, B)) * 0.1, jnp.bfloat16)
         ms, cs = chain_wall(fused_body, xt)
         print(f"[pallas bf16 chunk={chunk:3d}] stack: {ms:7.2f} ms  "
               f"{FLOPS_STACK / ms / 1e9:6.1f} TF/s true (compile {cs:.0f}s)",

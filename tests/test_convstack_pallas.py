@@ -43,12 +43,13 @@ def test_pack_dense_w_exact():
     x = rng.standard_normal((8, 12, 8, 4)).astype(np.float32)
     ref = _direct_conv(x, w, bias)
     # one output block (h0=4, t0=8): patch = padded window rows 4..13,
-    # cols 8..17 -> the dense row m=(ih*4+jt)*8+co must reproduce it
+    # cols 8..17, TIME-MAJOR (t, h, c) -> dense row m=(jt*4+ih)*8+co
     xp = np.concatenate([x[-3:], x, x[:3]], 0)
     xp = np.concatenate([xp[:, -3:], xp, xp[:, :3]], 1)
-    patch = xp[4:14, 8:18].reshape(800, 4)
-    got = (wd @ patch + b128).reshape(4, 4, 8, 4)
-    np.testing.assert_allclose(got, ref[4:8, 8:12], rtol=1e-4, atol=1e-4)
+    patch = np.transpose(xp[4:14, 8:18], (1, 0, 2, 3)).reshape(800, 4)
+    got = (wd @ patch + b128).reshape(4, 4, 8, 4)      # (jt, ih, co, b)
+    np.testing.assert_allclose(got.transpose(1, 0, 2, 3), ref[4:8, 8:12],
+                               rtol=1e-4, atol=1e-4)
 
 
 def _flax_stack(x, layers, cin):
@@ -126,14 +127,18 @@ def test_pack_dense_w_jax_matches_numpy():
 
 
 def test_pick_chunk_properties():
-    for T in (1, 4, 16, 151, 152, 153, 300, 601, 1024, 2048):
-        c = CP.pick_chunk(T)
-        assert c % 4 == 0 and c >= 4
-        t_pad = -(-T // c) * c
-        assert t_pad >= T
-        # waste bounded: never worse than the naive ceil-to-152 plan
-        naive = -(-T // 152) * 152 if T > 152 else -(-T // 4) * 4
-        assert t_pad <= naive
+    for B in (128, 256, 512, 1024):
+        for T in (1, 4, 16, 151, 152, 153, 300, 601, 1024, 2048):
+            c = CP.pick_chunk(T, B)
+            assert c % 4 == 0 and c >= 4
+            t_pad = -(-T // c) * c
+            assert t_pad >= T
+            # the double-buffered slab + output block must fit the
+            # measured 16 MiB scoped-vmem limit (the round-5 chunk=304
+            # OOM class)
+            vmem = (2 * 10 * (c + 6) * 8 * B * 2
+                    + 2 * 4 * c * 8 * B * 2)
+            assert vmem <= 15 * 2 ** 20, (B, T, c, vmem)
 
 
 def test_model_gate_fused_matches_plain(monkeypatch):
