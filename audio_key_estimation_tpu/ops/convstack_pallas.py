@@ -6,22 +6,25 @@ layer-1 p2p ConvStack — three (7,7) circular convs at
 (B=512, H=288, T=601, C<=8) whose 8 output channels leave the MXU grid
 nearly idle under any XLA formulation. This kernel computes one
 conv + folded-BatchNorm affine + leaky-relu layer per pallas_call in
-the TRANSPOSED, TIME-MAJOR (T, H, C, B) layout (batch fills the lane
-dim, channels the 8 sublanes):
+the TRANSPOSED (H, T, C, B) layout — the PHYSICAL order XLA already
+assigns the model's NHWC activations on TPU (minor-to-major {0,3,2,1}:
+batch fills the lane dim, channels the 8 sublanes), so the logical
+entry/exit transposes are layout bitcasts, not copies. A time-major
+(T, H, C, B) variant whose patch window slices the leading dim (free
+VMEM reinterpretation) measured IDENTICAL kernel time (57.7 vs 57.9
+ms/stack: the kernel is MXU-dot-shape-bound, not layout-bound) but
+LOST ~30 ms in-model to real H<->T transposes at the stack boundary —
+in-model fused vs plain was +0.2% (bench model-delta cell), which is
+what picked this layout.
 
  * the (7,7) x ci -> 8 conv becomes, per (4-row, 4-col) output block,
    ONE MXU matmul (128, K') @ (K', B): M = 4*4*8 = 128 output rows,
    K' = 10*10*ci input window — a 2-D block-Toeplitz zero-stuffed
    weight (`pack_dense_w`). FLOP inflation (10*10)/(7*7) = 2.04x buys
    a FULL MXU grid (vs 8/128 rows direct).
- * the input slab ((chunk+6) t-cols x 10 h-rows x ci x B lanes) is one
-   double-buffered DMA per grid step. TIME-major matters: the patch
-   window slices the slab on its LEADING (untiled) dim, so the
-   (10, 10, ci, B) -> (K', B) reshape is a pure reinterpretation of
-   contiguous (ci, B) VMEM tiles. Earlier cuts sliced the window on a
-   minor dim, and Mosaic materialized an ~800 KB re-tiling copy PER
-   DOT — which capped every variant at ~29 TF/s true (57-61 ms/stack)
-   regardless of chunk size, DMA burst size, or dot width.
+ * the input slab (10 h-rows x (chunk+6) t-cols x ci x ALL B lanes) is
+   one double-buffered DMA per grid step; contiguous ~100s-of-KB HBM
+   runs per row.
  * eval-mode BatchNorm folds into the weights host-side
    (`fold_convstack_params`); leaky-relu runs in the f32 epilogue.
 
@@ -57,10 +60,9 @@ def pack_dense_w(w, bias, scale=None, shift=None):
     """(7,7,ci,8) conv kernel (+bias, + optional BN affine) -> the
     (128, 100*ci) block-Toeplitz dense weight + (128, 1) bias.
 
-    TIME-MAJOR orders (matching the free (T2+6, H2+6, ci, B) patch
-    reinterpretation): row m = (jt*_H2 + ih)*_CO + co computes output
-    (t0+jt, h0+ih, co); column p = ((jt+dt)*10 + (ih+dh))*ci + c reads
-    patch t-col jt+dt, h-row ih+dh, channel c.
+    Row m = (ih*_T2 + jt)*_CO + co computes output (h0+ih, t0+jt, co);
+    column p = ((ih+dh)*10 + (jt+dt))*ci + c reads slab h-row ih+dh,
+    t-col jt+dt, channel c of the (10, 10, ci) input window.
     """
     kh, kw, ci, co = w.shape
     if (kh, kw, co) != (7, 7, _CO):
@@ -77,8 +79,8 @@ def pack_dense_w(w, bias, scale=None, shift=None):
         for jt in range(_T2):
             for dh in range(kh):
                 for dt in range(kw):
-                    r0 = (jt * _H2 + ih) * _CO
-                    p0 = ((jt + dt) * hh + (ih + dh)) * ci
+                    r0 = (ih * _T2 + jt) * _CO
+                    p0 = ((ih + dh) * tt + (jt + dt)) * ci
                     out[r0:r0 + _CO, p0:p0 + ci] = w[dh, dt].T
     b128 = np.repeat(bias[None, :], _H2 * _T2, 0).reshape(-1, 1)
     return out, b128.astype(np.float32)
@@ -87,21 +89,19 @@ def pack_dense_w(w, bias, scale=None, shift=None):
 @functools.partial(
     jax.jit, static_argnames=("chunk", "interpret"))
 def _conv7_layer(xp, w_dense, b128, *, chunk: int, interpret: bool = False):
-    """One folded conv+affine+leaky layer, time-major.
+    """One folded conv+affine+leaky layer.
 
-    xp      : (Tp, Hp, ci, B) bf16 — circularly PRE-PADDED by 3 on both
+    xp      : (Hp, Tp, ci, B) bf16 — circularly PRE-PADDED by 3 on both
               spatial dims and right-padded so (Tp - 6) % chunk == 0 and
               (Hp - 6) % _H2 == 0.
     w_dense : (128, 100*ci) bf16     b128 : (128, 1) f32
-    returns : (Tp-6, Hp-6, 8, B) bf16 (right-pad t-cols included).
+    returns : (Hp-6, Tp-6, 8, B) bf16 (right-pad t-cols included).
 
-    The slab holds (chunk+6) t-cols x (_H2+6) h-rows x ci x ALL B lanes.
-    The patch window `slab[j*4 : j*4+10]` slices the LEADING (untiled)
-    dim, so its (10, 10, ci, B) -> (K', B) matrix view reinterprets
-    contiguous (ci, B) tiles — no data movement before the MXU dot.
+    The slab holds (_H2+6) h-rows x (chunk+6) t-cols x ci x ALL B
+    lanes; per fixed h the (t, ci, B) body is one contiguous HBM run.
     """
-    Tp, Hp, ci, B = xp.shape
-    T, H = Tp - 6, Hp - 6
+    Hp, Tp, ci, B = xp.shape
+    H, T = Hp - 6, Tp - 6
     if H % _H2 or T % chunk or chunk % _T2 or B % _LANES:
         raise ValueError(f"geometry {xp.shape} chunk={chunk}")
     nh, nc = H // _H2, T // chunk
@@ -117,8 +117,8 @@ def _conv7_layer(xp, w_dense, b128, *, chunk: int, interpret: bool = False):
 
         def copy(ii, ci_, slot):
             return pltpu.make_async_copy(
-                xp_ref.at[pl.ds(ci_ * chunk, slab_t),
-                          pl.ds(ii * _H2, _H2 + 6), :, :],
+                xp_ref.at[pl.ds(ii * _H2, _H2 + 6),
+                          pl.ds(ci_ * chunk, slab_t), :, :],
                 slab.at[slot], sems.at[slot])
 
         @pl.when(step == 0)
@@ -136,13 +136,14 @@ def _conv7_layer(xp, w_dense, b128, *, chunk: int, interpret: bool = False):
         w = w_ref[:]
         bias = b_ref[:]
         for j in range(nj):
-            patch = slab[step % 2, j * _T2:j * _T2 + _T2 + 6]
+            # one full-width dot: N = B lanes (B//128 lane-tiles)
+            patch = slab[step % 2, :, j * _T2:j * _T2 + _T2 + 6]
             patch = patch.reshape((_H2 + 6) * (_T2 + 6) * ci, B)
             acc = jnp.dot(w, patch, preferred_element_type=jnp.float32)
             acc = acc + bias
             acc = jnp.where(acc >= 0, acc, LEAKY_SLOPE * acc)
-            out_ref[j * _T2:j * _T2 + _T2] = \
-                acc.astype(kdt).reshape(_T2, _H2, _CO, B)
+            out_ref[:, j * _T2:j * _T2 + _T2] = \
+                acc.astype(kdt).reshape(_H2, _T2, _CO, B)
 
     out = pl.pallas_call(
         kernel,
@@ -154,10 +155,10 @@ def _conv7_layer(xp, w_dense, b128, *, chunk: int, interpret: bool = False):
             pl.BlockSpec((_H2 * _T2 * _CO, 1), lambda i, c: (0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (chunk, _H2, _CO, B), lambda i, c: (c, i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((T, H, _CO, B), kdt),
+            (_H2, chunk, _CO, B), lambda i, c: (i, c, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((H, T, _CO, B), kdt),
         scratch_shapes=[
-            pltpu.VMEM((2, slab_t, _H2 + 6, ci, B), kdt),
+            pltpu.VMEM((2, _H2 + 6, slab_t, ci, B), kdt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
@@ -197,8 +198,8 @@ def pack_dense_w_jax(w, bias, scale=None, shift=None):
     g = wp[dh.clip(0, hh - 1)][:, :, dt.clip(0, tt - 1)]
     g = g * (vh[:, :, None, None, None, None]
              & vt[None, None, :, :, None, None])
-    # time-major: rows ordered (jt, ih, co); cols ordered (pt, ph, c)
-    out = g.transpose(2, 0, 5, 3, 1, 4).reshape(_H2 * _T2 * _CO,
+    # rows ordered (ih, jt, co); cols ordered (ph, pt, c)
+    out = g.transpose(0, 2, 5, 1, 3, 4).reshape(_H2 * _T2 * _CO,
                                                 hh * tt * ci)
     b128 = jnp.tile(bias, _H2 * _T2)[:, None]
     return out, b128
@@ -213,16 +214,16 @@ def fold_bn_affine_jax(gamma, beta, mean, var, eps=1e-5):
 
 
 def _circ_pad_ht(x, t_target):
-    """(T, H, C, B) -> (t_target+6, H+6, C, B): circular 3-pad on T and
-    H, then zero right-pad T to t_target (junk t-cols past T are read
+    """(H, T, C, B) -> (H+6, t_target+6, C, B): circular 3-pad on H and
+    T, then zero right-pad T to t_target (junk t-cols past T are read
     only by the last chunks' windows, producing junk OUTPUT t-cols >= T
     which the caller slices off)."""
-    T, H, C, B = x.shape
-    x = jnp.concatenate([x[:, -3:], x, x[:, :3]], axis=1)
+    H, T, C, B = x.shape
     x = jnp.concatenate([x[-3:], x, x[:3]], axis=0)
+    x = jnp.concatenate([x[:, -3:], x, x[:, :3]], axis=1)
     pad = t_target - T
     if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
     return x
 
 
@@ -278,7 +279,9 @@ def fused_convstack(x, layers, *, chunk: int = None,
     if chunk is None:
         chunk = pick_chunk(T, B)
     t_pad = -(-T // chunk) * chunk
-    xt = x.transpose(2, 1, 3, 0).astype(jnp.bfloat16)   # (T, H, C, B)
+    # logical (H, T, C, B) == XLA's physical NHWC layout on TPU
+    # (minor-to-major {0,3,2,1}) -> this transpose is a layout bitcast
+    xt = x.transpose(1, 2, 3, 0).astype(jnp.bfloat16)
     if Cin < _CO:
         # channel sublanes must be full (the in-kernel patch fold relies
         # on the (ci, lanes) = (8, B) tile); zero channels are exact
@@ -290,11 +293,11 @@ def fused_convstack(x, layers, *, chunk: int = None,
         if w.shape[2] < _CO:
             w = jnp.pad(w, ((0, 0), (0, 0), (0, _CO - w.shape[2]), (0, 0)))
         wd, b128 = pack_dense_w_jax(w, bias, s, t)
-        xp = _circ_pad_ht(xt[:T] if li else xt, t_pad)
+        xp = _circ_pad_ht(xt[:, :T] if li else xt, t_pad)
         xt = _conv7_layer(xp, wd.astype(jnp.bfloat16),
                           b128, chunk=chunk,
                           interpret=interpret)
-    return xt[:T].transpose(3, 1, 0, 2)
+    return xt[:, :T].transpose(3, 0, 1, 2)
 
 
 def fold_convstack_params(params, batch_stats, conv_layers: int):

@@ -120,15 +120,15 @@ def main():
         t_pad = -(-T // chunk) * chunk
 
         def fused_body(a, _chunk=chunk, _t_pad=t_pad):
-            # a: (T, H, C, B) bf16; apply 3 fused layers, slice to T
+            # a: (H, T, C, B) bf16; apply 3 fused layers, slice to T
             y = a
             for wd, b128 in packed:
-                yp = CP._circ_pad_ht(y[:T], _t_pad)
+                yp = CP._circ_pad_ht(y[:, :T], _t_pad)
                 y = CP._conv7_layer(yp, wd, b128, chunk=_chunk)
-            return y[:T]
+            return y[:, :T]
 
         xt = jnp.asarray(
-            rng.standard_normal((T, H, C, B)) * 0.1, jnp.bfloat16)
+            rng.standard_normal((H, T, C, B)) * 0.1, jnp.bfloat16)
         ms, cs = chain_wall(fused_body, xt)
         print(f"[pallas bf16 chunk={chunk:3d}] stack: {ms:7.2f} ms  "
               f"{FLOPS_STACK / ms / 1e9:6.1f} TF/s true (compile {cs:.0f}s)",

@@ -43,13 +43,12 @@ def test_pack_dense_w_exact():
     x = rng.standard_normal((8, 12, 8, 4)).astype(np.float32)
     ref = _direct_conv(x, w, bias)
     # one output block (h0=4, t0=8): patch = padded window rows 4..13,
-    # cols 8..17, TIME-MAJOR (t, h, c) -> dense row m=(jt*4+ih)*8+co
+    # cols 8..17 -> the dense row m=(ih*4+jt)*8+co must reproduce it
     xp = np.concatenate([x[-3:], x, x[:3]], 0)
     xp = np.concatenate([xp[:, -3:], xp, xp[:, :3]], 1)
-    patch = np.transpose(xp[4:14, 8:18], (1, 0, 2, 3)).reshape(800, 4)
-    got = (wd @ patch + b128).reshape(4, 4, 8, 4)      # (jt, ih, co, b)
-    np.testing.assert_allclose(got.transpose(1, 0, 2, 3), ref[4:8, 8:12],
-                               rtol=1e-4, atol=1e-4)
+    patch = xp[4:14, 8:18].reshape(800, 4)
+    got = (wd @ patch + b128).reshape(4, 4, 8, 4)
+    np.testing.assert_allclose(got, ref[4:8, 8:12], rtol=1e-4, atol=1e-4)
 
 
 def _flax_stack(x, layers, cin):
