@@ -199,32 +199,36 @@ class PitchClassNet(nn.Module):
     in global mode; in local mode time-major sequences (N, T', 12/11).
     """
     cfg: Config
-    dtype: Any = jnp.float32
+    # None (default) resolves to cfg.dtype — constructing PitchClassNet(cfg)
+    # honors the config's compute dtype. Pass an explicit dtype to override
+    # (init_model/trainer do, keeping their call sites unchanged).
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, mel, seq_length=None, train: bool = False):
         c = self.cfg
-        # params are stored float32; compute runs in self.dtype (bfloat16
+        # params are stored float32; compute runs in dt (bfloat16
         # halves HBM traffic and doubles MXU rate when selected)
-        p, pc = mel.astype(self.dtype), None
+        dt = jnp.dtype(c.dtype) if self.dtype is None else self.dtype
+        p, pc = mel.astype(dt), None
         layer_cls = PitchClassNetLayer
         if c.remat:
             # trade FLOPs for memory like the reference's dense-block
             # torch.utils.checkpoint (models.py:485-489), but whole-stage
             layer_cls = nn.remat(PitchClassNetLayer, static_argnums=(2,))
         for i in range(c.num_layers):
-            p, pc = layer_cls(c, i, dtype=self.dtype,
+            p, pc = layer_cls(c, i, dtype=dt,
                               name=f"model_{i}")((p, pc), train)
 
         final_ch = head_in_channels(c.num_layers, c.n_filters, c.conv_layers,
                                     c.denseblock)
-        tonic = Head(c, final_ch, "tonic", dtype=self.dtype,
+        tonic = Head(c, final_ch, "tonic", dtype=dt,
                      name="tonic_classifier")(pc, train).astype(jnp.float32)
-        key = Head(c, final_ch, "key", dtype=self.dtype,
+        key = Head(c, final_ch, "key", dtype=dt,
                    name="key_classifier")(pc, train).astype(jnp.float32)
         genre = None
         if c.genre:
-            genre = Head(c, final_ch, "genre", dtype=self.dtype,
+            genre = Head(c, final_ch, "genre", dtype=dt,
                          name="genre_classifier")(pc, train).astype(jnp.float32)
 
         if c.local:

@@ -269,7 +269,13 @@ def main():
     # plain XLA model path; either way the model delta is measured below.
     use_fused = (not os.environ.get("AKX_BENCH_NO_FUSED")
                  and jax.devices()[0].platform == "tpu")
-    cfg = cfg.replace(fused_convstack=use_fused)
+    # serving compute dtype: bfloat16 on TPU (the documented production
+    # recipe — a measured no-op for the XLA conv path, and it removes the
+    # f32<->bf16 boundary casts around the fused Pallas stack, which were
+    # most of its in-model overhead). AKX_BENCH_DTYPE=float32 pins f32.
+    dtype = os.environ.get("AKX_BENCH_DTYPE") or (
+        "bfloat16" if jax.devices()[0].platform == "tpu" else "float32")
+    cfg = cfg.replace(fused_convstack=use_fused, dtype=dtype)
     hop = reference_hop(SR, cfg.frames)
     params = CQTParams(sr=SR, hop=hop, bins_per_octave=cfg.bins_per_octave,
                        octaves=cfg.octaves)
@@ -468,8 +474,11 @@ def main():
         cpu = jax.devices("cpu")[0]
         with jax.default_device(cpu):
             # f32 conv operands on CPU: native dtype there, so this is the
-            # baseline's BEST case (conservative for the reported ratio)
-            pipe_cpu = jax.jit(lambda y, s: _reduce(model.apply(
+            # baseline's BEST case (conservative for the reported ratio);
+            # plain f32 model regardless of the TPU serving dtype/path
+            cpu_model = PitchClassNet(cfg.replace(
+                fused_convstack=False, dtype="float32"))
+            pipe_cpu = jax.jit(lambda y, s: _reduce(cpu_model.apply(
                 variables, cqt(y, params, conv_dtype=jnp.float32)
                 [:, :, :, None], s, False)))
             y1 = jnp.asarray(y0[:1])  # int16, like the TPU pipeline input

@@ -58,13 +58,15 @@ def main():
     model = PitchClassNet(cfg)
     variables = model.init(jax.random.PRNGKey(0), mels[:1], seq[:1], False)
 
-    for tag, fused in (("plain", False), ("fused", True)):
-        m = PitchClassNet(cfg.replace(fused_convstack=fused))
-        f = jax.jit(lambda a, s, _m=m: jnp.sum(_m.apply(
-            variables, a, s, False)[0]))
-        dt, cs = time_fn(f, mels, seq)
-        print(f"[{tag}] model.apply: {dt * 1e3:7.1f} ms/step "
-              f"(compile {cs:.0f}s)", flush=True)
+    for dtype in ("float32", "bfloat16"):
+        for tag, fused in (("plain", False), ("fused", True)):
+            m = PitchClassNet(cfg.replace(fused_convstack=fused,
+                                          dtype=dtype))
+            f = jax.jit(lambda a, s, _m=m: jnp.sum(_m.apply(
+                variables, a, s, False)[0]))
+            dt, cs = time_fn(f, mels, seq)
+            print(f"[{tag} {dtype:8s}] model.apply: {dt * 1e3:7.1f} "
+                  f"ms/step (compile {cs:.0f}s)", flush=True)
 
 
 if __name__ == "__main__":
