@@ -453,7 +453,11 @@ def main():
     fe_flops = frontend_flops(params, L, n_clips)
     model_flops = 0.0
     try:
-        comp = jax.jit(lambda m, s: model.apply(variables, m, s, False)
+        # USEFUL flops: always lower the plain-XLA model — the fused
+        # Pallas stack's CostEstimate counts its 2.04x block-Toeplitz
+        # FLOP inflation, which would overstate MFU by ~60%
+        mfu_model = PitchClassNet(cfg.replace(fused_convstack=False))
+        comp = jax.jit(lambda m, s: mfu_model.apply(variables, m, s, False)
                        ).lower(jnp.zeros((n_clips, cfg.pitches, n_frames, 1),
                                          jnp.float32),
                                jnp.full((n_clips,), n_frames, jnp.int32)
