@@ -195,12 +195,16 @@ BATCH = 16   # decoded source clips
 # gain/noise variants -> device batch = REPLICAS*16 clips, one launch.
 # The bench SWEEPS the batch size in-run (VERDICT r3 items 1+8): B=256 was
 # the XLA-path saturation point and the r1 driver record's geometry; the
-# Pallas front-end keeps scaling to B=512 on the builder's chip (5378 vs
-# 5165 audio-min/s) but that margin was never validated cross-environment
-# — so BOTH are measured and the headline takes the best, with the whole
-# sweep embedded in the output JSON. AKX_BENCH_REPLICAS pins one value.
+# Pallas front-end keeps scaling through B=512 to B=1024 on the
+# builder's chip (round-5: 7657 vs 7449 vs 6701 audio-min/s) — so ALL
+# are measured and the headline takes the best, with the whole sweep
+# embedded in the output JSON. AKX_BENCH_REPLICAS pins one value. The
+# XLA front-end only runs at B <= XLA_MAX_CLIPS: its B=1024 program
+# fails TPU compilation (scoped-vmem OOM in the strided-conv cascade),
+# and a known-failing 3-minute compile attempt per run buys nothing.
 _REP_ENV = os.environ.get("AKX_BENCH_REPLICAS")
-REPLICAS_SWEEP = [int(_REP_ENV)] if _REP_ENV else [32, 16]
+REPLICAS_SWEEP = [int(_REP_ENV)] if _REP_ENV else [64, 32, 16]
+XLA_MAX_CLIPS = 512
 REPS = 3
 F32_PEAK_FLOPS = 49.2e12  # v5e MXU, float32 path (bf16 peak / 4)
 
@@ -374,6 +378,9 @@ def main():
                 variables, _f(y, params)[:, :, :, None], s, False)))
         for rep in REPLICAS_SWEEP:
             b = rep * BATCH
+            if kind == "xla" and b > XLA_MAX_CLIPS:
+                fr[f"b{b}"] = {"skipped": "scoped-vmem compile OOM"}
+                continue
             am = b * CLIP_SECONDS / 60.0
             try:
                 dt, comp = time_fn(pipeline, ys[:b], seq[:b])
