@@ -36,7 +36,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from audio_key_estimation_tpu.models import blocks  # noqa: E402
 from audio_key_estimation_tpu.ops import convstack_pallas as CP  # noqa: E402
 
-B, H, T, C = 512, 288, 601, 8
+B, H, T, C = int(os.environ.get("AKX_B", 512)), 288, 601, 8
 CHAIN = 8
 REPS = 3
 FLOPS_STACK = 3 * 2 * B * H * T * 8 * 49 * C   # true conv flops
