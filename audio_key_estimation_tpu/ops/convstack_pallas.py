@@ -91,19 +91,25 @@ def pack_dense_w(w, bias, scale=None, shift=None):
 def _conv7_layer(xp, w_dense, b128, *, chunk: int, interpret: bool = False):
     """One folded conv+affine+leaky layer.
 
-    xp      : (Hp, Tp, ci, B) bf16 — circularly PRE-PADDED by 3 on both
-              spatial dims and right-padded so (Tp - 6) % chunk == 0 and
-              (Hp - 6) % _H2 == 0.
-    w_dense : (128, 100*ci) bf16     b128 : (128, 1) f32
+    xp      : (Hp, Tp, 8, B) bf16 — circularly PRE-PADDED by 3 on both
+              spatial dims, right-padded so (Tp - 6) % chunk == 0 and
+              (Hp - 6) % _H2 == 0, channels zero-padded to 8 (full
+              sublane tiles for the slab DMA).
+    w_dense : (128, 100*ci_true) bf16 packed at the layer's TRUE input
+              width — the kernel slices the slab's zero channels off
+              before the patch fold, so ci_true < 8 contracts less.
+    b128    : (128, 1) f32
     returns : (Hp-6, Tp-6, 8, B) bf16 (right-pad t-cols included).
 
-    The slab holds (_H2+6) h-rows x (chunk+6) t-cols x ci x ALL B
-    lanes; per fixed h the (t, ci, B) body is one contiguous HBM run.
+    The slab holds (_H2+6) h-rows x (chunk+6) t-cols x 8 x ALL B
+    lanes; per fixed h the (t, c, B) body is one contiguous HBM run.
     """
     Hp, Tp, ci, B = xp.shape
     H, T = Hp - 6, Tp - 6
-    if H % _H2 or T % chunk or chunk % _T2 or B % _LANES:
-        raise ValueError(f"geometry {xp.shape} chunk={chunk}")
+    ci_true = w_dense.shape[1] // ((_H2 + 6) * (_T2 + 6))
+    if H % _H2 or T % chunk or chunk % _T2 or B % _LANES or ci_true > ci:
+        raise ValueError(f"geometry {xp.shape} chunk={chunk} "
+                         f"K'={w_dense.shape[1]}")
     nh, nc = H // _H2, T // chunk
     nj = chunk // _T2
     kdt = xp.dtype
@@ -138,7 +144,9 @@ def _conv7_layer(xp, w_dense, b128, *, chunk: int, interpret: bool = False):
         for j in range(nj):
             # one full-width dot: N = B lanes (B//128 lane-tiles)
             patch = slab[step % 2, :, j * _T2:j * _T2 + _T2 + 6]
-            patch = patch.reshape((_H2 + 6) * (_T2 + 6) * ci, B)
+            if ci_true < ci:
+                patch = patch[:, :, :ci_true]
+            patch = patch.reshape((_H2 + 6) * (_T2 + 6) * ci_true, B)
             acc = jnp.dot(w, patch, preferred_element_type=jnp.float32)
             acc = acc + bias
             acc = jnp.where(acc >= 0, acc, LEAKY_SLOPE * acc)
@@ -150,7 +158,7 @@ def _conv7_layer(xp, w_dense, b128, *, chunk: int, interpret: bool = False):
         grid=(nh, nc),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),        # xp stays in HBM
-            pl.BlockSpec((_H2 * _T2 * _CO, (_H2 + 6) * (_T2 + 6) * ci),
+            pl.BlockSpec((_H2 * _T2 * _CO, (_H2 + 6) * (_T2 + 6) * ci_true),
                          lambda i, c: (0, 0)),
             pl.BlockSpec((_H2 * _T2 * _CO, 1), lambda i, c: (0, 0)),
         ],
@@ -162,7 +170,7 @@ def _conv7_layer(xp, w_dense, b128, *, chunk: int, interpret: bool = False):
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * H * T * B * _CO * 100 * ci,
+            flops=2 * H * T * B * _CO * 100 * ci_true,
             bytes_accessed=int(xp.size * 2.6 * kdt.itemsize
                                + H * T * _CO * B * kdt.itemsize),
             transcendentals=0,
@@ -283,15 +291,17 @@ def fused_convstack(x, layers, *, chunk: int = None,
     # (minor-to-major {0,3,2,1}) -> this transpose is a layout bitcast
     xt = x.transpose(1, 2, 3, 0).astype(jnp.bfloat16)
     if Cin < _CO:
-        # channel sublanes must be full (the in-kernel patch fold relies
-        # on the (ci, lanes) = (8, B) tile); zero channels are exact
+        # the slab DMA needs full 8-sublane tiles (Mosaic rejects
+        # ci=5 memref slices); zero channels are exact
         xt = jnp.pad(xt, ((0, 0), (0, 0), (0, _CO - Cin), (0, 0)))
     elif Cin != _CO:
         raise ValueError(f"Cin={Cin} unsupported (<= {_CO})")
+    # The dense weight packs at NATIVE ci: layer 1 (ci=5 flagship)
+    # contracts K'=500 instead of a channel-padded 800 — 37% less work
+    # on the kernel's binding resource (the MXU dot). The kernel slices
+    # the zero channels off the slab value before the patch fold.
     for li, (w, bias, s, t) in enumerate(layers):
         w = jnp.asarray(w)
-        if w.shape[2] < _CO:
-            w = jnp.pad(w, ((0, 0), (0, 0), (0, _CO - w.shape[2]), (0, 0)))
         wd, b128 = pack_dense_w_jax(w, bias, s, t)
         xp = _circ_pad_ht(xt[:, :T] if li else xt, t_pad)
         xt = _conv7_layer(xp, wd.astype(jnp.bfloat16),
